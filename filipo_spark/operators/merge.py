@@ -1,0 +1,113 @@
+"""MERGE-style upsert apply: changes ⟗ target on (conv_id, turn_idx).
+
+The engine's equivalent of the reference's only upsert — the function
+store's delete-then-insert keyed by a deterministic subject
+(OutputManager.java:65-70, 296-303) — generalized to LWW MERGE.
+
+Design point (why the physical table carries metadata): final state must
+be **independent of micro-batch boundaries and replay** (BASELINE
+invariant).  A batch-local winner with an out-of-order (older) event
+time must NOT overwrite a newer row applied by an earlier batch, and an
+event older than an applied delete must stay dead.  Therefore each
+physical row retains the LWW ordinal of the event that produced it:
+
+    physical = TARGET_COLUMNS + (_lsn bigint, _deleted boolean)
+
+Deletes are retained as tombstones.  MERGE is then a *fold of an
+associative, commutative max* over (ts, _lsn) per key — order- and
+batching-insensitive by construction, so replay from any checkpoint
+reproduces byte-identical state.  Tombstones are garbage-collected by
+``compact()`` once an event-time watermark passes (at 10^10 events you
+never keep them forever).
+
+Execution shape (scale): MERGE = unionByName(target_bucket, winners) →
+hash-aggregate max_by per key.  One shuffle on the key, with map-side
+partial aggregation (hot conversations reduce before the exchange);
+bucket pruning (``touched_buckets``) limits the rewrite to buckets that
+contain touched keys — copy-on-write per bucket, as Iceberg would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from filipo_spark.operators.dedup import lww_dedup
+from filipo_spark.schema import KEY_COLUMNS, N_BUCKETS_DEFAULT, TARGET_COLUMNS
+
+PHYS_META = ["_lsn", "_deleted"]
+PHYS_COLUMNS = TARGET_COLUMNS + PHYS_META
+
+# event-time ordering with null-safe floor; _lsn (unique) breaks ties
+_TS0 = "1970-01-01 00:00:00"
+
+
+def _order_struct() -> Column:
+    return F.struct(F.coalesce(F.col("ts"), F.to_timestamp(F.lit(_TS0))), F.col("_lsn"))
+
+
+def bucket_of(col_conv_id, n_buckets: int = N_BUCKETS_DEFAULT) -> Column:
+    """Physical bucket id of a conversation: pmod(xxhash64(conv_id), N)."""
+    return F.pmod(F.xxhash64(col_conv_id), F.lit(n_buckets)).cast("int")
+
+
+def to_physical(target: DataFrame) -> DataFrame:
+    """Bootstrap: lift a logical target table to physical rows (_lsn=-1)."""
+    return target.select(
+        *TARGET_COLUMNS, F.lit(-1).cast("long").alias("_lsn"), F.lit(False).alias("_deleted")
+    )
+
+
+def logical(physical: DataFrame) -> DataFrame:
+    """User-facing view: live rows only, logical schema."""
+    return physical.where(~F.col("_deleted")).select(*TARGET_COLUMNS)
+
+
+def winners_to_physical(winners: DataFrame) -> DataFrame:
+    return winners.select(
+        *TARGET_COLUMNS,
+        F.col("lsn").alias("_lsn"),
+        (F.col("op") == "D").alias("_deleted"),
+    )
+
+
+def merge_upserts(target_phys: DataFrame, winners: DataFrame) -> DataFrame:
+    """Apply already-deduped winners (one row/key, with op+lsn) to the
+    physical target; returns the new physical state."""
+    unioned = target_phys.select(*PHYS_COLUMNS).unionByName(winners_to_physical(winners))
+    others = [c for c in PHYS_COLUMNS if c not in KEY_COLUMNS]
+    agg = unioned.groupBy(*KEY_COLUMNS).agg(
+        F.max_by(F.struct(*others), _order_struct()).alias("_w")
+    )
+    return agg.select(*KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in others]).select(
+        *PHYS_COLUMNS
+    )
+
+
+def apply_batch(target_phys: DataFrame, changes: DataFrame) -> DataFrame:
+    """Full micro-batch apply: LWW dedup → LWW MERGE.  Shared by the batch
+    replay loop (replay.py) and the Structured Streaming ``foreachBatch``
+    sink (streaming/tail.py) so both paths have identical semantics."""
+    return merge_upserts(target_phys, lww_dedup(changes))
+
+
+def compact(target_phys: DataFrame, watermark_ts) -> DataFrame:
+    """Drop tombstones whose event time is older than the watermark —
+    safe once the source guarantees no event below the watermark will
+    arrive (Structured Streaming withWatermark contract)."""
+    return target_phys.where(
+        (~F.col("_deleted")) | (F.col("ts") >= F.lit(watermark_ts))
+    )
+
+
+def touched_buckets(winners: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> list[int]:
+    """Partition-pruning set: buckets containing at least one touched key."""
+    rows = winners.select(bucket_of(F.col("conv_id"), n_buckets).alias("b")).distinct().collect()
+    return sorted(r["b"] for r in rows)
+
+
+def canonical(df: DataFrame) -> DataFrame:
+    """Stable output ordering for state-equality checks (BASELINE invariant:
+    per-turn text equality under stable (conv_id, turn_idx) ordering)."""
+    cols = [c for c in TARGET_COLUMNS if c in df.columns]
+    return df.select(*cols).orderBy(*KEY_COLUMNS)
