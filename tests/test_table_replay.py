@@ -1,0 +1,110 @@
+"""Icelet table + exactly-once replay tests (FIXTURES.md §5 scenarios)."""
+
+from __future__ import annotations
+
+import pytest
+
+from filipo_spark.generators import gen_changelog, gen_transcripts
+from filipo_spark.operators.merge import apply_batch, canonical, logical, to_physical
+from filipo_spark.replay import run_replay
+from filipo_spark.table.icelet import IceletTable
+
+from tests.conftest import df_rows
+
+
+@pytest.fixture()
+def log(spark):
+    return gen_changelog(spark, n_conv=20, n_events=2500, seed=13)
+
+
+def expected_state(spark, log):
+    empty = to_physical(spark.createDataFrame([], gen_transcripts(spark, 1).schema))
+    return df_rows(canonical(logical(apply_batch(empty, log))))
+
+
+def test_replay_one_shot_vs_batched(spark, tmp_path, log):
+    want = expected_state(spark, log)
+    t1 = IceletTable.create(str(tmp_path / "t1"), n_buckets=8)
+    r1 = run_replay(spark, t1, log, batch_size=10**9)
+    assert r1.epochs_applied == 1
+    assert df_rows(canonical(t1.read_logical(spark))) == want
+
+    t2 = IceletTable.create(str(tmp_path / "t2"), n_buckets=8)
+    r2 = run_replay(spark, t2, log, batch_size=500)
+    assert r2.epochs_applied >= 5
+    assert df_rows(canonical(t2.read_logical(spark))) == want
+
+
+def test_replay_duplicate_run_skips_all(spark, tmp_path, log):
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=8)
+    run_replay(spark, t, log, batch_size=800)
+    before = df_rows(canonical(t.read_logical(spark)))
+    snap_before = t.current_snapshot_id()
+    r = run_replay(spark, t, log, batch_size=800)  # full duplicate replay
+    assert r.epochs_applied == 0 and r.epochs_skipped > 0
+    assert t.current_snapshot_id() == snap_before
+    assert df_rows(canonical(t.read_logical(spark))) == before
+
+
+def test_replay_kill_resume(spark, tmp_path, log):
+    want = expected_state(spark, log)
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=8)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_replay(spark, t, log, batch_size=600, fail_after_data_write_on_epoch=2)
+    # crash left epochs 0-1 committed, epoch 2 data orphaned, pointer intact
+    assert len(t.manifest()) == 2
+    mid = t.read_logical(spark)
+    assert mid.count() > 0  # table still readable (old snapshot live)
+    # resume: re-run the same replay — committed epochs skip, rest apply
+    r = run_replay(spark, t, log, batch_size=600)
+    assert r.epochs_skipped == 2
+    assert df_rows(canonical(t.read_logical(spark))) == want
+    # orphan crash files are invisible and vacuum removes them
+    removed = t.vacuum()
+    assert any("orphan-crash" in p for p in removed)
+    assert df_rows(canonical(t.read_logical(spark))) == want
+
+
+def test_bootstrap_then_incremental(spark, tmp_path):
+    target = gen_transcripts(spark, n_conv=12, max_turns=15, seed=21)
+    log = gen_changelog(spark, n_conv=12, n_events=900, seed=22, max_turns=15)
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=4)
+    t.bootstrap(target)
+    assert df_rows(canonical(t.read_logical(spark))) == df_rows(canonical(target))
+    run_replay(spark, t, log, batch_size=300)
+    want = df_rows(canonical(logical(apply_batch(to_physical(target), log))))
+    assert df_rows(canonical(t.read_logical(spark))) == want
+
+
+def test_manifest_lineage(spark, tmp_path, log):
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=8)
+    run_replay(spark, t, log, batch_size=1000)
+    m = t.manifest()
+    assert all(m[i]["offset_hi"] == m[i + 1]["offset_lo"] for i in range(len(m) - 1))
+    assert all(mm["snapshot_id"] for mm in m)
+    assert all(mm["n_rows"] > 0 for mm in m)
+    # bucket pruning recorded: every commit rewrote only its touched buckets
+    assert all(0 < len(mm["buckets"]) <= 8 for mm in m)
+
+
+def test_bucket_pruning_small_batch(spark, tmp_path):
+    """A single-conversation batch rewrites exactly one bucket."""
+    from filipo_spark.schema import CHANGE_SCHEMA
+    import datetime as dt
+
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=16)
+    big = gen_changelog(spark, n_conv=50, n_events=2000, seed=31)
+    run_replay(spark, t, big, batch_size=10**9)
+    one = spark.createDataFrame(
+        [(10**7, "U", "conv-00000003", 1, "user", "edited", None,
+          dt.datetime(2030, 1, 1))],
+        CHANGE_SCHEMA,
+    )
+    res = t.apply_epoch(spark, one, epoch=99, offset_lo=10**7 - 1, offset_hi=10**7)
+    assert len(res.buckets) == 1
+    row = (
+        t.read_logical(spark)
+        .where("conv_id='conv-00000003' and turn_idx=1")
+        .collect()
+    )
+    assert row and row[0]["text"] == "edited"
