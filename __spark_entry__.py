@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC replay on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 ids in
+each docstring); callables take (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (tables
+region/nation/customer/supplier/part/orders/lineitem/events/documents/
+embeddings pre-registered as views).
 """
 
 from __future__ import annotations
@@ -12,27 +13,345 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _utc(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# CDC core (SURVEY §2.3 J-merge, §2.4 dedup agg, §2.5 LWW window, §2.9)
+# ---------------------------------------------------------------------------
+
+_LWW_ORACLE = """
+WITH ch AS ({changes}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch)
+"""
+
+
+def q_cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: replay events-derived changelog from empty via LWW MERGE.
+
+    SURVEY §2.5 (LWW dedup window), §2.3 (MERGE), reference anchor
+    OutputManager.java:65-303 (idempotent delete-then-insert upsert).
+    """
+    from filipo_spark.operators.merge import apply_batch, canonical, logical, to_physical
+    from filipo_spark.schema import TARGET_SCHEMA
+    from filipo_spark.sources import changes_from_events
+
+    _utc(spark)
+    ch = changes_from_events(spark, sf_dir)
+    empty = to_physical(spark.createDataFrame([], TARGET_SCHEMA))
+    return canonical(logical(apply_batch(empty, ch)))
+
+
+def q_cdc_batched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final state applied in 3 adversarial hash-split batches —
+    batch-boundary invariance of the LWW MERGE fold (north_star)."""
+    from filipo_spark.operators.merge import apply_batch, canonical, logical, to_physical
+    from filipo_spark.schema import TARGET_SCHEMA
+    from filipo_spark.sources import changes_from_events
+
+    _utc(spark)
+    ch = changes_from_events(spark, sf_dir)
+    state = to_physical(spark.createDataFrame([], TARGET_SCHEMA))
+    for k in range(3):
+        state = apply_batch(state, ch.where(F.pmod(F.xxhash64("lsn"), F.lit(3)) == k))
+    return canonical(logical(state))
+
+
+def q_lww_dedup_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key winning event (op included) — dedup stage in isolation.
+    SURVEY §2.5 row_number analog; engine uses max_by (dedup.py)."""
+    from filipo_spark.operators.dedup import lww_dedup
+    from filipo_spark.sources import changes_from_events
+
+    _utc(spark)
+    w = lww_dedup(changes_from_events(spark, sf_dir))
+    return w.select("conv_id", "turn_idx", "lsn", "op").orderBy("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# Profiling (SURVEY A1-A3, C4; TripleAnalyzer.java:32-45)
+# ---------------------------------------------------------------------------
+
+def q_schema_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 functionality + type sniffing on `orders`."""
+    from filipo_spark.operators.profile import schema_profile
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return schema_profile(read_table(spark, sf_dir, "orders")).orderBy("column_name")
+
+
+def q_identifier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 identifier detection: functionality >= 0.996 (config.json:25)."""
+    from filipo_spark.operators.profile import identifiers, schema_profile
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return identifiers(schema_profile(read_table(spark, sf_dir, "orders"))).orderBy(
+        "column_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / windows / joins on TPC-H-ish tables (SURVEY A5-A7, J, O5)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (A-family: grouped sums/avgs + sort)."""
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_argmax_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7: vote count per (user, event_type) then arg-max per user with
+    deterministic tie rule (desc count, asc type) —
+    AlignmentProcessor.java:528-588."""
+    from filipo_spark.sources import read_table
+    from pyspark.sql import Window
+
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    votes = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("votes"), F.asc("event_type"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_type", "votes")
+        .orderBy("user_id")
+    )
+
+
+def q_wildcard_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+C8: wildcard re-aggregation — digits→[*] then re-sum counts
+    (AlignmentProcessor.java:591-636, regex at :599)."""
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("path", F.regexp_replace("source", r"\d+", "[*]"))
+        .groupBy("path", "lang")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .orderBy("path", "lang")
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: customer ⋈ orders ⋈ broadcast(nation) — broadcast hash join on
+    the small dim (J3 analog: TripleAnalyzer.java:91-137 types lookup)."""
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/§2.5: deterministic per-group sampling — k rows per group in
+    md5 hash order (engine version of `ORDER BY UUID() LIMIT n`,
+    KnowledgeBaseManagement.java:60-72, made replayable)."""
+    from filipo_spark.operators.sampling import sample_per_group
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    s = read_table(spark, sf_dir, "supplier")
+    return sample_per_group(s, group="s_nationkey", order_key="s_name", k=2).select(
+        "s_nationkey", "s_name"
+    ).orderBy("s_nationkey", "s_name")
+
+
+def q_topk_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: global top-k by a confidence-like score (desc sort + limit),
+    SupportConfidenceProcessor.java:43-45."""
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg("value"), 4).alias("confidence"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("confidence"), "event_type")
+        .limit(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cdc_lww_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_replay": q_cdc_lww_replay,
+        "cdc_batched_replay": q_cdc_batched_replay,
+        "lww_dedup_winners": q_lww_dedup_winners,
+        "schema_profile_orders": q_schema_profile_orders,
+        "identifier_detection": q_identifier_detection,
+        "pricing_summary": q_pricing_summary,
+        "argmax_vote": q_argmax_vote,
+        "wildcard_collapse": q_wildcard_collapse,
+        "revenue_by_nation": q_revenue_by_nation,
+        "sample_per_group": q_sample_per_group,
+        "topk_confidence": q_topk_confidence,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CHANGES_SQL = """
+SELECT event_id AS lsn,
+       CASE WHEN event_type = 'error' THEN 'D'
+            WHEN event_type = 'signup' THEN 'I'
+            ELSE 'U' END AS op,
+       'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+       CAST(event_id % 40 AS INTEGER) AS turn_idx,
+       CASE CAST(event_id % 4 AS INTEGER)
+            WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+            WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+       event_type || ':' || props AS text,
+       CASE WHEN event_id % 4 = 3 THEN event_type END AS tool,
+       ts
+FROM events
+"""
+
+_LWW_FINAL = f"""
+WITH ch AS ({_CHANGES_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+_PROFILE_ORDERS = """
+WITH longf AS (
+  SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS value FROM orders
+  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+prof AS (
+  SELECT column_name,
+         COUNT(*) AS n,
+         COUNT(value) AS n_nonnull,
+         COUNT(DISTINCT value) AS n_distinct,
+         AVG(CASE WHEN regexp_matches(value, '^-?\\d+$') THEN 1.0 ELSE 0.0 END) AS int_ratio,
+         AVG(CASE WHEN regexp_matches(value, '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$') THEN 1.0 ELSE 0.0 END) AS double_ratio,
+         AVG(CASE WHEN regexp_matches(value, '^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?$') THEN 1.0 ELSE 0.0 END) AS ts_ratio,
+         AVG(CASE WHEN regexp_matches(value, '^https?://') THEN 1.0 ELSE 0.0 END) AS url_ratio
+  FROM longf GROUP BY column_name
+)
+SELECT column_name, n, n_nonnull, n_distinct,
+       ROUND(CASE WHEN n_nonnull > 0 THEN CAST(n_distinct AS DOUBLE) / n_nonnull ELSE 0.0 END, 6) AS functionality,
+       ROUND(1.0 - CAST(n_nonnull AS DOUBLE) / n, 6) AS null_ratio,
+       ROUND(int_ratio, 6) AS int_ratio, ROUND(double_ratio, 6) AS double_ratio,
+       ROUND(ts_ratio, 6) AS ts_ratio, ROUND(url_ratio, 6) AS url_ratio,
+       CASE WHEN n_nonnull = 0 THEN 'null'
+            WHEN int_ratio >= 0.99 THEN 'int'
+            WHEN double_ratio >= 0.99 THEN 'double'
+            WHEN ts_ratio >= 0.99 THEN 'timestamp'
+            WHEN url_ratio >= 0.99 THEN 'url'
+            ELSE 'text' END AS type_guess
+FROM prof ORDER BY column_name
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_replay": _LWW_FINAL,
+        "cdc_batched_replay": _LWW_FINAL,
+        "lww_dedup_winners": f"""
+WITH ch AS ({_CHANGES_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch)
+SELECT conv_id, turn_idx, lsn, op FROM ranked WHERE rn = 1
+ORDER BY conv_id, turn_idx""",
+        "schema_profile_orders": _PROFILE_ORDERS,
+        "identifier_detection": f"""
+WITH prof AS ({_PROFILE_ORDERS.replace('ORDER BY column_name', '')})
+SELECT column_name, functionality FROM prof
+WHERE functionality >= 0.996 AND null_ratio < 0.5
+ORDER BY column_name""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "argmax_vote": """
+WITH votes AS (
+  SELECT user_id, event_type, COUNT(*) AS votes
+  FROM events GROUP BY user_id, event_type),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY votes DESC, event_type ASC) AS rn
+  FROM votes)
+SELECT user_id, event_type, votes FROM ranked WHERE rn = 1 ORDER BY user_id""",
+        "wildcard_collapse": """
+SELECT regexp_replace(source, '\\d+', '[*]', 'g') AS path, lang, COUNT(*) AS votes
+FROM documents GROUP BY 1, 2 ORDER BY path, lang""",
+        "revenue_by_nation": """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name""",
+        "sample_per_group": """
+WITH ranked AS (
+  SELECT s_nationkey, s_name, row_number() OVER (
+    PARTITION BY s_nationkey ORDER BY md5(s_name), s_name) AS rn
+  FROM supplier)
+SELECT s_nationkey, s_name FROM ranked WHERE rn <= 2
+ORDER BY s_nationkey, s_name""",
+        "topk_confidence": """
+SELECT event_type, ROUND(AVG(value), 4) AS confidence, COUNT(*) AS n
+FROM events GROUP BY event_type
+ORDER BY confidence DESC, event_type LIMIT 3""",
+    }
