@@ -74,21 +74,67 @@ def winners_to_physical(winners: DataFrame) -> DataFrame:
 def merge_upserts(target_phys: DataFrame, winners: DataFrame) -> DataFrame:
     """Apply already-deduped winners (one row/key, with op+lsn) to the
     physical target; returns the new physical state."""
-    unioned = target_phys.select(*PHYS_COLUMNS).unionByName(winners_to_physical(winners))
-    others = [c for c in PHYS_COLUMNS if c not in KEY_COLUMNS]
-    agg = unioned.groupBy(*KEY_COLUMNS).agg(
-        F.max_by(F.struct(*others), _order_struct()).alias("_w")
+    return lww_resolve(
+        target_phys.select(*PHYS_COLUMNS).unionByName(winners_to_physical(winners))
     )
-    return agg.select(*KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in others]).select(
-        *PHYS_COLUMNS
+
+
+def lww_resolve(phys: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """Fold physical rows (possibly many versions per key) to the
+    winning version per key — the merge-on-read resolve step.  One hash
+    aggregate; associative, so any union of base and delta files
+    resolves correctly.
+
+    With ``n_buckets`` set, the fold is *bucket-aligned*: rows are
+    exchanged once on ``_bucket = pmod(xxhash64(conv_id), n)`` and the
+    aggregation runs on that partitioning (valid because bucket is a
+    function of the key, so hash-partitioning by bucket clusters keys).
+    The output keeps ``_bucket`` and is ready for a partitionBy write
+    with NO second exchange — one payload shuffle per epoch instead of
+    two, the dominant cost at scale."""
+    others = [c for c in PHYS_COLUMNS if c not in KEY_COLUMNS]
+    if n_buckets is None:
+        agg = phys.groupBy(*KEY_COLUMNS).agg(
+            F.max_by(F.struct(*others), _order_struct()).alias("_w")
+        )
+        cols = KEY_COLUMNS
+    else:
+        b = phys.withColumn("_bucket", bucket_of(F.col("conv_id"), n_buckets))
+        agg = (
+            b.repartition(n_buckets, "_bucket")
+            .groupBy("_bucket", *KEY_COLUMNS)
+            .agg(F.max_by(F.struct(*others), _order_struct()).alias("_w"))
+        )
+        cols = ["_bucket", *KEY_COLUMNS]
+    lead = [] if n_buckets is None else ["_bucket"]
+    return agg.select(
+        *cols, *[F.col(f"_w.{c}").alias(c) for c in others]
+    ).select(*lead, *PHYS_COLUMNS)
+
+
+def changes_to_physical(changes: DataFrame) -> DataFrame:
+    """CHANGE_SCHEMA rows → physical rows (op folded into _deleted)."""
+    return changes.select(
+        *TARGET_COLUMNS,
+        F.col("lsn").alias("_lsn"),
+        (F.col("op") == "D").alias("_deleted"),
     )
 
 
 def apply_batch(target_phys: DataFrame, changes: DataFrame) -> DataFrame:
-    """Full micro-batch apply: LWW dedup → LWW MERGE.  Shared by the batch
-    replay loop (replay.py) and the Structured Streaming ``foreachBatch``
-    sink (streaming/tail.py) so both paths have identical semantics."""
-    return merge_upserts(target_phys, lww_dedup(changes))
+    """Full micro-batch apply: LWW dedup + MERGE fused into ONE hash
+    aggregation over union(target, batch).
+
+    Because LWW is an associative/commutative max over (ts, _lsn),
+    dedup-then-merge and merge-directly are the same fold; fusing them
+    halves the shuffles on the hot path (one exchange on the key, with
+    map-side partial aggregation absorbing hot-conversation skew).
+    Shared by the batch replay loop (replay.py) and the Structured
+    Streaming ``foreachBatch`` sink (streaming/tail.py) so both paths
+    have identical semantics."""
+    return lww_resolve(
+        target_phys.select(*PHYS_COLUMNS).unionByName(changes_to_physical(changes))
+    )
 
 
 def compact(target_phys: DataFrame, watermark_ts) -> DataFrame:

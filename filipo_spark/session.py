@@ -38,9 +38,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("FILIPO_DRIVER_MEM", "8g"))
+        # size GC/JIT/compiler threads to the requested core count, not the
+        # host's — otherwise a local[N] JVM on a 32-thread box behaves like
+        # an N+k-core executor and cross-parallelism comparisons lie
+        .config("spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={cpus}")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # shuffle/spill scratch: prefer tmpfs in this sandbox (the microVM's
+    # virtio disk is ~340 MB/s and would serialize multi-core shuffles);
+    # on a real cluster leave unset → executor-local NVMe
+    local_dir = os.environ.get("FILIPO_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/filipo-spark-tmp"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -1,36 +1,48 @@
 """Icelet — a minimal Iceberg-shaped snapshot table over parquet.
 
 No Iceberg/Delta jars exist in this sandbox (verified in SURVEY.md §7.3),
-so the engine ships its own copy-on-write table format exposing exactly
-the metadata surface the north_star demands:
+so the engine ships its own table format exposing exactly the metadata
+surface the north_star demands:
 
     <root>/data/b=<bucket>/snap-<id>/part-*.parquet     data files
     <root>/metadata/snapshot-<id>.json                  file list per bucket
     <root>/metadata/manifest.jsonl                      commit lineage
     <root>/metadata/CURRENT                             atomic pointer
 
-* **Bucketed layout**: rows land in ``b = pmod(xxhash64(conv_id), N)`` —
-  co-locates each conversation, makes MERGE a per-bucket copy-on-write
-  rewrite, and gives the replay loop its partition-pruning axis.
-* **Snapshots**: immutable JSON file lists; a commit writes new files for
-  touched buckets only and inherits the parent's files for the rest —
-  the same O(touched) metadata shape as an Iceberg manifest rewrite.
-* **Commit manifest**: one JSONL row per epoch —
+Layout & semantics
+------------------
+* **Bucketed**: rows land in ``b = pmod(xxhash64(conv_id), N)`` —
+  co-locates each conversation and gives MERGE/reads their pruning axis.
+* **Physical rows** carry ``(_lsn, _deleted)`` (operators/merge.py), so
+  *any* union of data files resolves to the true state with one LWW
+  ``max_by`` fold — the key invariant that lets the same format serve
+  both write modes:
+  - **merge-on-read (default, ``mode="mor"``)**: an epoch writes ONLY
+    the batch winners as new delta files (O(batch) write amplification —
+    the only strategy that survives 10^10 events/day); readers fold
+    base+delta; ``compact()`` folds buckets back to one file when their
+    file count exceeds a threshold.
+  - **copy-on-write (``mode="cow"``)**: an epoch rewrites touched
+    buckets to their resolved state (O(bucket) writes, zero read
+    amplification — right for read-heavy, low-churn tables).
+* **Snapshots**: immutable JSON file lists; a commit replaces/appends
+  file entries for touched buckets only and inherits the parent's for
+  the rest — the same O(touched) metadata shape as an Iceberg manifest.
+* **Commit manifest**: one JSONL row per commit —
   ``(epoch, offset_lo, offset_hi, snapshot_id, buckets, n_rows,
-  evolution_events, committed_at)`` — per-partition lineage from source
-  offset range to snapshot id.
+  evolution_events, kind)`` — per-partition lineage from source offset
+  range to snapshot id.
 * **Exactly-once**: the manifest is the fence.  A batch whose
   ``(offset_lo, offset_hi]`` already appears is skipped (idempotent
   replay); a crash between data write and pointer swap leaves orphan
-  files that no snapshot references — invisible to readers, collected
-  by ``vacuum()``.  This is the reference's delete-then-insert
-  function-store idempotence (OutputManager.java:65-70,296-303) turned
-  into an atomic-pointer commit protocol.
+  files no snapshot references — invisible to readers, collected by
+  ``vacuum()``.  This is the reference's delete-then-insert function-
+  store idempotence (OutputManager.java:65-70,296-303) turned into an
+  atomic-pointer commit protocol.
 
-Scale notes: metadata operations are O(buckets) driver-side JSON — at
-1000 executors the data plane is untouched; reads pass an explicit file
-list to ``spark.read.parquet`` so partition pruning is exact (no
-directory listing of the whole table).
+Scale: metadata ops are O(buckets) driver-side JSON; reads pass explicit
+file lists to ``spark.read.parquet`` (no directory listing, exact
+pruning); the resolve fold is one hash aggregate with map-side combine.
 """
 
 from __future__ import annotations
@@ -48,15 +60,13 @@ from pyspark.sql import functions as F
 from filipo_spark.operators.dedup import lww_dedup
 from filipo_spark.operators.merge import (
     PHYS_COLUMNS,
+    apply_batch,
     bucket_of,
-    merge_upserts,
+    changes_to_physical,
+    lww_resolve,
     to_physical,
 )
-from filipo_spark.schema import (
-    KEY_COLUMNS,
-    N_BUCKETS_DEFAULT,
-    TARGET_SCHEMA,
-)
+from filipo_spark.schema import KEY_COLUMNS, N_BUCKETS_DEFAULT
 
 _PHYS_SCHEMA_DDL = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -74,9 +84,11 @@ class CommitResult:
 
 
 class IceletTable:
-    def __init__(self, root: str, n_buckets: int = N_BUCKETS_DEFAULT):
+    def __init__(self, root: str, n_buckets: int = N_BUCKETS_DEFAULT, mode: str = "mor"):
+        assert mode in ("mor", "cow")
         self.root = root
         self.n_buckets = n_buckets
+        self.mode = mode
 
     # --- paths ---------------------------------------------------------
     @property
@@ -92,15 +104,17 @@ class IceletTable:
 
     # --- lifecycle -----------------------------------------------------
     @classmethod
-    def create(cls, root: str, n_buckets: int = N_BUCKETS_DEFAULT) -> "IceletTable":
-        t = cls(root, n_buckets)
+    def create(
+        cls, root: str, n_buckets: int = N_BUCKETS_DEFAULT, mode: str = "mor"
+    ) -> "IceletTable":
+        t = cls(root, n_buckets, mode)
         os.makedirs(t._meta, exist_ok=True)
         os.makedirs(t._data, exist_ok=True)
         sid = "empty"
         with open(t._snap_path(sid), "w") as f:
             json.dump(
                 {"snapshot_id": sid, "parent": None, "epoch": -1,
-                 "n_buckets": n_buckets, "files": {}},
+                 "n_buckets": n_buckets, "mode": mode, "files": {}},
                 f,
             )
         t._swap_current(sid)
@@ -111,6 +125,7 @@ class IceletTable:
         t = cls(root)
         snap = t.current_snapshot()
         t.n_buckets = snap["n_buckets"]
+        t.mode = snap.get("mode", "mor")
         return t
 
     # --- metadata ------------------------------------------------------
@@ -134,16 +149,16 @@ class IceletTable:
         p = os.path.join(self._meta, "manifest.jsonl")
         if not os.path.exists(p):
             return []
-        out = []
         with open(p) as f:
-            for line in f:
-                if line.strip():
-                    out.append(json.loads(line))
-        return out
+            return [json.loads(line) for line in f if line.strip()]
 
     def committed_ranges(self) -> set[tuple[int, int]]:
         """Offset ranges already applied — the exactly-once fence."""
-        return {(m["offset_lo"], m["offset_hi"]) for m in self.manifest()}
+        return {
+            (m["offset_lo"], m["offset_hi"])
+            for m in self.manifest()
+            if m.get("kind", "append") == "append"
+        }
 
     def _append_manifest(self, row: dict[str, Any]) -> None:
         p = os.path.join(self._meta, "manifest.jsonl")
@@ -160,8 +175,8 @@ class IceletTable:
                 files.extend(os.path.join(self.root, rel) for rel in fl)
         return files
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        """Physical rows of the current snapshot (optionally bucket-pruned).
+    def read_raw(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """All physical rows (possibly multiple versions per key in MoR).
 
         Explicit file list → no directory listing, exact pruning.
         """
@@ -169,6 +184,10 @@ class IceletTable:
         if not files:
             return spark.createDataFrame([], _PHYS_SCHEMA_DDL)
         return spark.read.schema(_PHYS_SCHEMA_DDL).parquet(*files)
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Resolved physical state: one row per key (LWW fold over raw)."""
+        return lww_resolve(self.read_raw(spark, buckets))
 
     def read_logical(self, spark: SparkSession) -> DataFrame:
         from filipo_spark.operators.merge import logical
@@ -178,10 +197,11 @@ class IceletTable:
     # --- write ---------------------------------------------------------
     def bootstrap(self, target: DataFrame, epoch: int = 0) -> CommitResult:
         """Seed the table from a logical target DataFrame (lsn=-1 rows)."""
-        phys = to_physical(target)
-        winners = None
-        return self._commit(phys, winners, epoch, offset_lo=-1, offset_hi=-1,
-                            touched=list(range(self.n_buckets)), evolution_events=[])
+        return self._commit(
+            to_physical(target), epoch, offset_lo=-1, offset_hi=-1,
+            touched=list(range(self.n_buckets)), evolution_events=[],
+            replace=True, kind="bootstrap",
+        )
 
     def apply_epoch(
         self,
@@ -192,61 +212,124 @@ class IceletTable:
         offset_hi: int,
         evolution_events: list[str] | None = None,
     ) -> CommitResult:
-        """LWW dedup → per-bucket copy-on-write MERGE → atomic commit.
+        """One epoch: dedup/merge → data files → atomic commit.
 
-        Idempotent: an (offset_lo, offset_hi] range already in the manifest
-        is skipped without touching data.
+        Idempotent: an (offset_lo, offset_hi] range already in the
+        manifest is skipped without touching data.
         """
         if (offset_lo, offset_hi) in self.committed_ranges():
             return CommitResult(epoch=epoch, snapshot_id=None, skipped=True)
-        winners = lww_dedup(changes)
-        winners = winners.withColumn("_b", bucket_of(F.col("conv_id"), self.n_buckets))
-        winners.cache()
-        try:
+        if self.mode == "mor":
+            # O(batch) write: batch-local winners become delta files.
+            # Bucket-aligned resolve → ONE payload shuffle, output ready
+            # for partitionBy write.  Touched buckets are discovered from
+            # the staging output dirs (no extra pre-scan of the batch).
+            out = lww_resolve(changes_to_physical(changes), n_buckets=self.n_buckets)
+            touched = None
+            replace = False
+        else:
+            # O(touched buckets) write: rewrite resolved state; needs the
+            # touched set upfront (column-pruned scan of conv_id only)
             touched = sorted(
-                r["_b"] for r in winners.select("_b").distinct().collect()
+                r["_b"]
+                for r in changes.select(
+                    bucket_of(F.col("conv_id"), self.n_buckets).alias("_b")
+                ).distinct().collect()
             )
             if not touched:  # empty batch: manifest-only commit
                 sid = self.current_snapshot_id()
                 self._append_manifest(
                     {"epoch": epoch, "offset_lo": offset_lo, "offset_hi": offset_hi,
-                     "snapshot_id": sid, "buckets": [], "n_rows": 0,
+                     "snapshot_id": sid, "buckets": [], "n_rows": 0, "kind": "append",
                      "evolution_events": evolution_events or []}
                 )
                 return CommitResult(epoch=epoch, snapshot_id=sid, skipped=False)
-            old = self.read(spark, buckets=touched)
-            new_phys = merge_upserts(old, winners.drop("_b"))
-            return self._commit(
-                new_phys, winners, epoch, offset_lo, offset_hi, touched,
-                evolution_events or [], n_rows=winners.count(),
+            out = lww_resolve(
+                self.read_raw(spark, buckets=touched).unionByName(
+                    changes_to_physical(changes)
+                ),
+                n_buckets=self.n_buckets,
             )
-        finally:
-            winners.unpersist()
+            replace = True
+        return self._commit(
+            out, epoch, offset_lo, offset_hi, touched,
+            evolution_events or [], replace=replace, kind="append",
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files: int = 4,
+        buckets: list[int] | None = None,
+        epoch: int = -1,
+    ) -> CommitResult | None:
+        """Fold buckets whose delta-file count exceeds ``min_files`` back
+        to one resolved file each (MoR maintenance; bounds read
+        amplification).  Tombstones are retained — see merge.compact for
+        watermark-based GC."""
+        snap = self.current_snapshot()
+        cands = [
+            int(b) for b, fl in snap["files"].items()
+            if len(fl) >= min_files and (buckets is None or int(b) in buckets)
+        ]
+        if not cands:
+            return None
+        resolved = lww_resolve(
+            self.read_raw(spark, buckets=cands), n_buckets=self.n_buckets
+        )
+        return self._commit(
+            resolved, epoch, offset_lo=None, offset_hi=None, touched=sorted(cands),
+            evolution_events=[], replace=True, kind="compact",
+        )
 
     def _commit(
         self,
-        new_phys: DataFrame,
-        winners: DataFrame | None,
+        out_phys: DataFrame,
         epoch: int,
-        offset_lo: int,
-        offset_hi: int,
-        touched: list[int],
+        offset_lo: int | None,
+        offset_hi: int | None,
+        touched: list[int] | None,
         evolution_events: list[str],
-        n_rows: int = 0,
+        replace: bool,
+        kind: str,
     ) -> CommitResult:
+        from pyspark.sql import Observation
+
         sid = f"{epoch:08d}-{uuid.uuid4().hex[:8]}"
         staging = os.path.join(self._data, f".staging-{sid}")
-        # one Spark job: bucket → sort within → one file per bucket dir.
-        # Deterministic row order inside each file (stable output contract);
-        # at 100 TB drop the coalesce-to-1 per bucket and allow N files/bucket.
+        obs = Observation(f"commit-{sid}")
+        # one Spark job: bucket-partitioned input → sort within → one file
+        # per bucket dir.  Deterministic row order inside each file (stable
+        # output contract); at 100 TB raise the partition factor to allow
+        # N files/bucket.  If the caller pre-bucketed (lww_resolve with
+        # n_buckets), no exchange happens here at all.
+        if "_bucket" not in out_phys.columns:
+            out_phys = out_phys.withColumn(
+                "_bucket", bucket_of(F.col("conv_id"), self.n_buckets)
+            ).repartition(self.n_buckets, "_bucket")
         (
-            new_phys.withColumn("_bucket", bucket_of(F.col("conv_id"), self.n_buckets))
-            .repartition(self.n_buckets, "_bucket")
-            .sortWithinPartitions(*KEY_COLUMNS)
+            out_phys.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+            .sortWithinPartitions(*KEY_COLUMNS, "_lsn")
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(staging)
         )
+        n_rows = int(obs.get.get("rows_written", 0))
+        if touched is None:  # discover touched buckets from staging output
+            touched = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(staging)
+                if d.startswith("_bucket=")
+            )
+            if not touched:  # empty batch under MoR: manifest-only commit
+                shutil.rmtree(staging, ignore_errors=True)
+                sid0 = self.current_snapshot_id()
+                self._append_manifest(
+                    {"epoch": epoch, "offset_lo": offset_lo, "offset_hi": offset_hi,
+                     "snapshot_id": sid0, "buckets": [], "n_rows": 0, "kind": kind,
+                     "evolution_events": evolution_events}
+                )
+                return CommitResult(epoch=epoch, snapshot_id=sid0, skipped=False)
         parent = self.current_snapshot()
         files: dict[str, list[str]] = dict(parent["files"])
         for b in touched:
@@ -262,13 +345,17 @@ class IceletTable:
                     for fn in os.listdir(dst)
                     if fn.endswith(".parquet")
                 )
-            files[str(b)] = bucket_files
+            if replace:
+                files[str(b)] = bucket_files
+            else:
+                files[str(b)] = files.get(str(b), []) + bucket_files
         shutil.rmtree(staging, ignore_errors=True)
         snap = {
             "snapshot_id": sid,
             "parent": parent["snapshot_id"],
             "epoch": epoch,
             "n_buckets": self.n_buckets,
+            "mode": self.mode,
             "files": files,
         }
         # crash ordering: snapshot json → manifest line → CURRENT pointer.
@@ -281,17 +368,19 @@ class IceletTable:
         self._append_manifest(
             {"epoch": epoch, "offset_lo": offset_lo, "offset_hi": offset_hi,
              "snapshot_id": sid, "buckets": touched, "n_rows": n_rows,
-             "evolution_events": evolution_events}
+             "kind": kind, "evolution_events": evolution_events}
         )
         self._swap_current(sid)
-        return CommitResult(epoch=epoch, snapshot_id=sid, skipped=False, buckets=touched)
+        return CommitResult(
+            epoch=epoch, snapshot_id=sid, skipped=False, buckets=touched, n_rows=n_rows
+        )
 
     # --- maintenance ---------------------------------------------------
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by the current snapshot chain."""
         live: set[str] = set()
         sid = self.current_snapshot_id()
-        seen = set()
+        seen: set[str] = set()
         while sid and sid not in seen:
             seen.add(sid)
             with open(self._snap_path(sid)) as f:

@@ -76,6 +76,29 @@ def test_bootstrap_then_incremental(spark, tmp_path):
     assert df_rows(canonical(t.read_logical(spark))) == want
 
 
+def test_mor_vs_cow_equality_and_compaction(spark, tmp_path, log):
+    """Merge-on-read and copy-on-write converge to identical logical state;
+    compaction preserves it while folding delta files."""
+    want = expected_state(spark, log)
+    mor = IceletTable.create(str(tmp_path / "mor"), n_buckets=4, mode="mor")
+    cow = IceletTable.create(str(tmp_path / "cow"), n_buckets=4, mode="cow")
+    run_replay(spark, mor, log, batch_size=500)
+    run_replay(spark, cow, log, batch_size=500)
+    assert df_rows(canonical(mor.read_logical(spark))) == want
+    assert df_rows(canonical(cow.read_logical(spark))) == want
+    # mor accumulated delta files; compaction folds them to 1/bucket
+    files_before = sum(len(v) for v in mor.current_snapshot()["files"].values())
+    assert files_before > 4
+    res = mor.compact(spark, min_files=2)
+    assert res is not None and res.n_rows > 0
+    files_after = sum(len(v) for v in mor.current_snapshot()["files"].values())
+    assert files_after == 4
+    assert df_rows(canonical(mor.read_logical(spark))) == want
+    # replay after compaction still fenced
+    r = run_replay(spark, mor, log, batch_size=500)
+    assert r.epochs_applied == 0
+
+
 def test_manifest_lineage(spark, tmp_path, log):
     t = IceletTable.create(str(tmp_path / "t"), n_buckets=8)
     run_replay(spark, t, log, batch_size=1000)
