@@ -1,0 +1,7 @@
+from filipo_spark.align.mapper import (  # noqa: F401
+    Mapping,
+    align,
+    apply_mapping,
+    flatten_payload,
+    melt_target,
+)

@@ -1,0 +1,334 @@
+"""Schema-evolution mapper — FiLiPo's KB↔API alignment core, re-expressed
+as DataFrame joins + vectorized similarity over a bounded probe sample.
+
+Correspondence to the reference pipeline (AlignmentProcessor.java):
+
+| engine step | reference anchor |
+|---|---|
+| candidate key discovery by value overlap | probing phase :967-1044 — sample KB values, keep input relations the API "responds" to; response-rate gate ≥ candidate_responses (:140,1039) |
+| record pairing on discovered key | API call by input value = record correspondence (:1116-1170) |
+| all-pairs field match per record pair | calculatePotentialLinkagePoints :800-911 (gate string_similarity ≥ 0.5 at :832) |
+| identifier/numeric fast path | isNumeric/isUrl routing :820-826; RegExer :836-873 |
+| record-similarity gate | :179-184 (matched > min(|api|,|kb|) × 0.1) |
+| vote count per (src,tgt,metric) | summedMetrics :528-551 |
+| arg-max metric, fuzzy-over-Equals tie | :554-588 (tie :566-571) |
+| vote threshold | :620-630 (votes ≥ matches × candidate_responses) |
+| wildcard collapse [i]→[*] | :591-636 (regex :599) |
+| support / confidence gates | JointFeatureProcessor.java:59-126; SupportConfidenceProcessor.java:18-48 |
+| mapping artifact (function store) | OutputManager.java:220-316 |
+
+The "local KB" is the target transcripts table; the "Web API" is the
+drifted change stream (payload map<string,string>).  Output drives
+ALTER-free column mapping in ``apply_mapping``; per-partition evolution
+events are logged by the replay loop into the commit manifest.
+
+Scale: every step is a join/aggregation on a *bounded deterministic
+sample* (n_probe records ≈ FiLiPo's similarityRequests=100) — alignment
+cost is independent of stream volume; only ``apply_mapping`` touches
+full batches, and it is pure column projection/casting.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from filipo_spark.functions.similarity import (
+    EQUALS_METRICS,
+    best_metric,
+)
+from filipo_spark.operators.profile import DOUBLE_RE, URL_RE
+from filipo_spark.schema import (
+    CANDIDATE_RESPONSES,
+    KEY_COLUMNS,
+    MIN_CONFIDENCE,
+    MIN_SUPPORT,
+    RECORD_SIMILARITY,
+    STRING_SIMILARITY,
+    TARGET_SCHEMA,
+)
+
+WILDCARD_RE = r"\[\d+\]"
+
+
+@dataclass
+class Mapping:
+    """The engine's function store: src payload field → target column."""
+
+    key_fields: dict[str, str]  # tgt key column -> src field
+    columns: list[dict]  # rows: tgt_column, src_field, metric, votes, support, confidence
+    evolution_events: list[str] = field(default_factory=list)
+
+    def as_dict(self) -> dict[str, str]:
+        d = dict(self.key_fields)
+        d.update({r["tgt_column"]: r["src_field"] for r in self.columns})
+        return d
+
+
+def flatten_payload(drifted: DataFrame) -> DataFrame:
+    """(lsn, op, payload) → long rows (lsn, src_field, src_value) with
+    array indices wildcard-collapsed ([i]→[*], C8/A8 analog of
+    ResponseConverter.java:26-27 flattened paths)."""
+    return (
+        drifted.select("lsn", F.explode(F.map_entries("payload")).alias("kv"))
+        .select(
+            "lsn",
+            F.regexp_replace(F.col("kv.key"), WILDCARD_RE, "[*]").alias("src_field"),
+            F.col("kv.value").alias("src_value"),
+        )
+        .where(F.col("src_value").isNotNull())
+    )
+
+
+def melt_target(target: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Target rows → long (conv_id, turn_idx, tgt_column, tgt_value:str).
+    Timestamps are rendered ISO-8601 so drifted string forms can match."""
+    cols = columns or [f.name for f in TARGET_SCHEMA.fields]
+    structs = []
+    for c in cols:
+        v = F.col(c)
+        if dict(target.dtypes).get(c) == "timestamp":
+            v = F.date_format(v, "yyyy-MM-dd'T'HH:mm:ss")
+        structs.append(
+            F.struct(F.lit(c).alias("tgt_column"), v.cast("string").alias("tgt_value"))
+        )
+    return target.select(*KEY_COLUMNS, F.explode(F.array(*structs)).alias("kv")).select(
+        *KEY_COLUMNS, "kv.tgt_column", "kv.tgt_value"
+    )
+
+
+def _distinct_overlap(src_flat: DataFrame, tgt_long: DataFrame) -> DataFrame:
+    """Per (src_field, tgt_column): |distinct src values seen in tgt| /
+    |distinct src values| — the probing response rate (F5 analog)."""
+    s = src_flat.select("src_field", F.col("src_value").alias("v")).distinct()
+    t = tgt_long.select("tgt_column", F.col("tgt_value").alias("v")).distinct()
+    totals = s.groupBy("src_field").agg(F.count(F.lit(1)).alias("n_src"))
+    hits = (
+        s.join(t, on="v")
+        .groupBy("src_field", "tgt_column")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return hits.join(totals, on="src_field").select(
+        "src_field",
+        "tgt_column",
+        (F.col("n_hit") / F.col("n_src")).alias("overlap"),
+        "n_hit",
+    )
+
+
+def discover_key_fields(
+    src_flat: DataFrame,
+    tgt_long: DataFrame,
+    min_overlap: float = CANDIDATE_RESPONSES,
+) -> dict[str, str]:
+    """Pre-condition discovery: which src field feeds each target key
+    column — arg-max distinct-value overlap, gated like FiLiPo's
+    candidate response rate (config.json:21, AlignmentProcessor.java:1039)."""
+    ov = _distinct_overlap(src_flat, tgt_long.where(F.col("tgt_column").isin(KEY_COLUMNS)))
+    w = Window.partitionBy("tgt_column").orderBy(F.desc("overlap"), F.asc("src_field"))
+    rows = (
+        ov.where(F.col("overlap") >= min_overlap)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    )
+    return {r["tgt_column"]: r["src_field"] for r in rows}
+
+
+def align(
+    drifted: DataFrame,
+    target: DataFrame,
+    n_probe: int = 100,
+    string_similarity: float = STRING_SIMILARITY,
+    record_similarity: float = RECORD_SIMILARITY,
+    candidate_responses: float = CANDIDATE_RESPONSES,
+    min_support: float = MIN_SUPPORT,
+    min_confidence: float = MIN_CONFIDENCE,
+) -> Mapping:
+    """Recover the drifted-payload → target-column mapping.
+
+    Thresholds keep FiLiPo's names and defaults (config.json:13-30).
+    """
+    sample = drifted.where(F.col("op") != "D").orderBy(
+        F.md5(F.col("lsn").cast("string"))
+    ).limit(n_probe * 5)
+    src_flat = flatten_payload(sample).cache()
+    tgt_long = melt_target(target).cache()
+    try:
+        key_fields = discover_key_fields(src_flat, tgt_long)
+        if len(key_fields) < len(KEY_COLUMNS):
+            missing = [k for k in KEY_COLUMNS if k not in key_fields]
+            raise ValueError(
+                f"alignment failed: no src field matches target key column(s) {missing}"
+            )
+
+        # --- record pairing (probing): src record ↔ target row via key ---
+        src_wide = (
+            src_flat.groupBy("lsn")
+            .pivot("src_field")
+            .agg(F.first("src_value"))
+        )
+        conv_f, turn_f = key_fields["conv_id"], key_fields["turn_idx"]
+        tgt_str = target.select(
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("conv_id").cast("string").alias("_ck"),
+            F.col("turn_idx").cast("string").alias("_tk"),
+        )
+        paired = (
+            src_wide.join(
+                tgt_str,
+                (F.col(f"`{conv_f}`") == F.col("_ck"))
+                & (F.col(f"`{turn_f}`") == F.col("_tk")),
+            )
+            .select("lsn", "conv_id", "turn_idx")
+            .orderBy(F.md5(F.col("lsn").cast("string")))
+            .limit(n_probe)
+        )
+
+        # --- all-pairs field match per record pair (J1) ---
+        non_key_tgt = tgt_long.where(~F.col("tgt_column").isin(KEY_COLUMNS))
+        pairs = (
+            paired.join(src_flat, on="lsn")
+            .where(~F.col("src_field").isin(list(key_fields.values())))
+            .join(non_key_tgt, on=KEY_COLUMNS)
+        )
+        # identifier/numeric/url fast path: exact equality only (C4, :820-826)
+        is_fast = F.col("src_value").rlike(DOUBLE_RE) | F.col("src_value").rlike(URL_RE)
+        bm = best_metric(F.col("src_value"), F.col("tgt_value"))
+        scored = pairs.select(
+            "lsn",
+            "src_field",
+            "tgt_column",
+            F.when(
+                is_fast,
+                F.struct(
+                    (F.col("src_value") == F.col("tgt_value")).cast("double").alias("score"),
+                    F.lit("Equal").alias("metric"),
+                ),
+            )
+            .otherwise(bm)
+            .alias("bm"),
+        ).select("lsn", "src_field", "tgt_column", "bm.score", "bm.metric")
+        hits = scored.where(F.col("score") >= string_similarity).cache()
+
+        # --- record-similarity gate (F6, :179-184) ---
+        n_src_fields = src_flat.select("src_field").distinct().count() - len(key_fields)
+        n_tgt_cols = len(TARGET_SCHEMA.fields) - len(KEY_COLUMNS)
+        rec_gate = max(1.0, min(n_src_fields, n_tgt_cols) * record_similarity)
+        matching = (
+            hits.select("lsn", "src_field", "tgt_column")
+            .distinct()
+            .groupBy("lsn")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .where(F.col("n_matched") > rec_gate)
+            .select("lsn")
+        )
+        n_matching = matching.count()
+        if n_matching == 0:
+            raise ValueError("alignment failed: no record pair passed the similarity gate")
+
+        # --- votes (A6) over matching records only ---
+        votes = (
+            hits.join(matching, on="lsn")
+            .groupBy("src_field", "tgt_column", "metric")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        # arg-max metric per (src,tgt), fuzzy beats Equals on ties (A7)
+        w_metric = Window.partitionBy("src_field", "tgt_column").orderBy(
+            F.desc("votes"),
+            F.asc(F.col("metric").isin(list(EQUALS_METRICS)).cast("int")),
+            F.asc("metric"),
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w_metric))
+            .where("rn = 1")
+            .drop("rn")
+        )
+        # vote threshold (F10/A-gates): votes ≥ matches × candidate_responses
+        best = best.where(F.col("votes") >= n_matching * candidate_responses)
+
+        # --- support (dataAvailability) & confidence (A12-A15) ---
+        # NOTE: in the reference, min_support/min_confidence gate the SCP
+        # *value statistics* (JointFeatureProcessor), not linkage points —
+        # linkage points are gated by the vote threshold above.  Support
+        # is reported as the function store's dataAvailability
+        # (OutputManager.java:81-82); only the confidence floor applies.
+        present = (
+            flatten_payload(sample)
+            .join(matching, on="lsn")
+            .select("lsn", "src_field")
+            .distinct()
+            .groupBy("src_field")
+            .agg(F.count(F.lit(1)).alias("n_present"))
+        )
+        scoredmap = (
+            best.join(present, on="src_field")
+            .withColumn("support", F.col("n_present") / F.lit(float(n_matching)))
+            .withColumn("confidence", F.col("votes") / F.col("n_present"))
+            .where(F.col("confidence") >= min_confidence)
+        )
+        # one src per tgt column: arg-max by confidence, then metric
+        # precision rank (an exact-equality mapping beats a fuzzy one —
+        # the identifier-fast-path preference lifted to field selection),
+        # then votes (A9)
+        rank = (
+            F.when(F.col("metric") == "Equal", 3)
+            .when(F.col("metric").isin(list(EQUALS_METRICS)), 2)
+            .otherwise(1)
+        )
+        w_tgt = Window.partitionBy("tgt_column").orderBy(
+            F.desc("confidence"), F.desc(rank), F.desc("votes"), F.asc("src_field")
+        )
+        final = (
+            scoredmap.withColumn("rn", F.row_number().over(w_tgt))
+            .where("rn = 1")
+            .select(
+                "tgt_column",
+                "src_field",
+                "metric",
+                "votes",
+                F.round("support", 4).alias("support"),
+                F.round("confidence", 4).alias("confidence"),
+            )
+            .orderBy("tgt_column")
+        )
+        cols = [r.asDict() for r in final.collect()]
+        events = [
+            f"map:{key_fields['conv_id']}->conv_id(key)",
+            f"map:{key_fields['turn_idx']}->turn_idx(key)",
+        ] + [
+            f"map:{r['src_field']}->{r['tgt_column']}({r['metric']},conf={r['confidence']})"
+            for r in cols
+        ]
+        return Mapping(key_fields=key_fields, columns=cols, evolution_events=events)
+    finally:
+        src_flat.unpersist()
+        tgt_long.unpersist()
+
+
+def _payload_get(field_name: str):
+    """payload[field] accessor; wildcard fields match any index ([*]→[i])."""
+    if "[*]" in field_name:
+        pat = "^" + re.escape(field_name).replace(re.escape("[*]"), r"\[\d+\]") + "$"
+        return F.try_element_at(
+            F.map_values(F.map_filter("payload", lambda k, v: k.rlike(pat))), F.lit(1)
+        )
+    return F.try_element_at("payload", F.lit(field_name))
+
+
+def apply_mapping(drifted: DataFrame, mapping: Mapping) -> DataFrame:
+    """Drifted (lsn, op, payload) → CHANGE_SCHEMA rows, ALTER-free:
+    renames + casts driven by the mapping; unmapped target columns null.
+    Pure column projection — runs on full batches at stream volume."""
+    m = mapping.as_dict()
+    cols = [F.col("lsn"), F.col("op")]
+    for f_ in TARGET_SCHEMA.fields:
+        if f_.name in m:
+            cols.append(_payload_get(m[f_.name]).cast(f_.dataType).alias(f_.name))
+        else:
+            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    return drifted.select(*cols)

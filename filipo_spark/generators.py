@@ -159,6 +159,30 @@ def gen_changelog(
     return base.unionByName(dups)
 
 
+def gen_echo_changelog(target: DataFrame, start_lsn: int = 10_000_000) -> DataFrame:
+    """Change events that echo current target rows (op=U, payload = row
+    values) — the probe-sample shape the alignment mapper trains on.
+
+    Mirrors FiLiPo's probing contract: the API is called *with KB values*
+    so responses describe the same entities (AlignmentProcessor.java:
+    967-1044); here a sampled slice of the stream echoes rows the target
+    already holds (e.g. freshly-applied inserts re-observed as updates).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("conv_id", "turn_idx")
+    return target.select(
+        (F.row_number().over(w) + start_lsn).cast("long").alias("lsn"),
+        F.lit("U").alias("op"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+
+
 # --- drift profiles (FIXTURES.md §3) ----------------------------------------
 
 DRIFT_RENAME = {

@@ -1,0 +1,110 @@
+"""Schema-evolution mapper golden tests (FIXTURES.md §3).
+
+The mapper must recover each drift profile's ground-truth mapping with
+precision = recall = 1.0 and, end-to-end, a replay of the drifted stream
+through apply_mapping must equal the replay of the undrifted stream.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from filipo_spark.align import align, apply_mapping
+from filipo_spark.generators import (
+    gen_changelog,
+    gen_drifted,
+    gen_echo_changelog,
+    gen_transcripts,
+)
+from filipo_spark.operators.merge import apply_batch, canonical, logical, to_physical
+
+from tests.conftest import df_rows
+
+GROUND_TRUTH = {
+    "rename": {
+        "conv_id": "conversation_id",
+        "turn_idx": "turnIndex",
+        "role": "role",
+        "text": "content",
+        "tool": "tool_name",
+        "ts": "event_time",
+    },
+    "typedrift": {
+        "conv_id": "conversation_id",
+        "turn_idx": "turn_index",
+        "role": "author_role",
+        "text": "content",
+        "tool": "tool_name",
+        "ts": "event_time",
+    },
+    "nested": {
+        "conv_id": "message.conv",
+        "turn_idx": "message.idx",
+        "role": "message.meta.role",
+        "text": "message.text",
+        "tool": "tools[*].name",
+        "ts": "message.meta.time",
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    target = gen_transcripts(spark, n_conv=40, max_turns=20, seed=77)
+    # probe sample: stream slice echoing rows the target already holds
+    # (FiLiPo's probing contract — responses describe the same entities)
+    echo = gen_echo_changelog(target)
+    changes = gen_changelog(spark, n_conv=40, n_events=3000, seed=77, max_turns=20)
+    return target, echo, changes
+
+
+@pytest.mark.parametrize("profile", ["rename", "typedrift", "nested"])
+def test_mapper_recovers_ground_truth(spark, base, profile):
+    target, echo, _changes = base
+    drifted = gen_drifted(echo, profile)
+    mapping = align(drifted, target)
+    assert mapping.as_dict() == GROUND_TRUTH[profile]
+    assert all(r["confidence"] > 0 for r in mapping.columns)
+    assert len(mapping.evolution_events) == 6
+
+
+def test_mapper_rejects_decoys(spark, base):
+    """decoy profile: author_role (partial copy of role) and comment
+    (text prefix) must NOT appear in the mapping (precision gate)."""
+    target, echo, _changes = base
+    mapping = align(gen_drifted(echo, "decoy"), target)
+    mapped_src = set(mapping.as_dict().values())
+    assert "author_role" not in mapped_src
+    assert "comment" not in mapped_src
+    assert mapping.as_dict() == GROUND_TRUTH["rename"]
+
+
+@pytest.mark.parametrize("profile", ["rename", "typedrift", "nested"])
+def test_e2e_drifted_replay_equals_undrifted(spark, base, profile):
+    """BASELINE invariant under drift: the mapping is learned from an
+    echo probe sample, then applied to the FULL drifted stream (whose
+    update values differ from the target) — final state must equal the
+    undrifted replay."""
+    target, echo, changes = base
+    mapping = align(gen_drifted(echo, profile), target)
+    drifted = gen_drifted(changes, profile)
+    recovered = apply_mapping(drifted, mapping)
+
+    phys0 = to_physical(target)
+    want = canonical(logical(apply_batch(phys0, changes)))
+    got = canonical(logical(apply_batch(phys0, recovered)))
+    # ISO format truncates sub-second precision; generator uses whole
+    # seconds so states must match exactly
+    assert df_rows(got) == df_rows(want)
+
+
+def test_apply_mapping_schema(spark, base):
+    target, echo, changes = base
+    out = apply_mapping(
+        gen_drifted(changes, "rename"), align(gen_drifted(echo, "rename"), target)
+    )
+    from filipo_spark.schema import CHANGE_COLUMNS
+
+    assert out.columns == CHANGE_COLUMNS
+    assert dict(out.dtypes)["turn_idx"] == "int"
+    assert dict(out.dtypes)["ts"] == "timestamp"

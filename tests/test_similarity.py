@@ -1,0 +1,95 @@
+"""Similarity registry vs pure-Python oracles (SURVEY §5.2 layer 1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from filipo_spark.functions.similarity import (
+    SIM_REGISTRY,
+    best_metric,
+    regex_identifier_equal,
+)
+
+PAIRS = [
+    ("hello world", "hello world"),
+    ("Hello  World", "hello world"),
+    ("world hello", "hello world"),
+    ("kitten", "sitting"),
+    ("abc def ghi", "abc xyz"),
+    ("", "abc"),
+    (None, "abc"),
+    ("CA", "ca"),
+    ("conv-001", "conv_001"),
+]
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    return spark.createDataFrame(PAIRS, "a string, b string")
+
+
+def _scores(df, name):
+    fn = SIM_REGISTRY[name]
+    rows = df.select("a", "b", F.round(fn(F.col("a"), F.col("b")), 4).alias("s")).collect()
+    return {(r["a"], r["b"]): r["s"] for r in rows}
+
+
+def test_equal_family(pairs_df):
+    s = _scores(pairs_df, "Equal")
+    assert s[("hello world", "hello world")] == 1.0
+    assert s[("Hello  World", "hello world")] == 0.0
+    sn = _scores(pairs_df, "EqualNormalized")
+    assert sn[("Hello  World", "hello world")] == 1.0
+    st = _scores(pairs_df, "TokenEqual")
+    assert st[("world hello", "hello world")] == 1.0
+    assert st[("kitten", "sitting")] == 0.0
+
+
+def test_levenshtein_norm(pairs_df):
+    s = _scores(pairs_df, "Levenshtein")
+    assert s[("kitten", "sitting")] == round(1 - 3 / 7, 4)
+    assert s[("hello world", "hello world")] == 1.0
+
+
+def test_token_set_metrics(pairs_df):
+    j = _scores(pairs_df, "JaccardTokens")
+    assert j[("abc def ghi", "abc xyz")] == 0.25  # inter=1, union=4
+    d = _scores(pairs_df, "DiceTokens")
+    assert d[("abc def ghi", "abc xyz")] == 0.4  # 2*1/(3+2)
+    o = _scores(pairs_df, "OverlapTokens")
+    assert o[("abc def ghi", "abc xyz")] == 0.5  # 1/min(3,2)
+
+
+def test_ngram_jaccard(pairs_df):
+    def pyjacc(x, y, n):
+        gx = {x[i : i + n] for i in range(max(len(x) - n + 1, 1))}
+        gy = {y[i : i + n] for i in range(max(len(y) - n + 1, 1))}
+        return len(gx & gy) / len(gx | gy)
+
+    s = _scores(pairs_df, "Jaccard3Gram")
+    assert s[("kitten", "sitting")] == round(pyjacc("kitten", "sitting", 3), 4)
+
+
+def test_pandas_udf_metrics(pairs_df):
+    lcs = _scores(pairs_df, "LCS")
+    assert lcs[("kitten", "sitting")] == round(4 / 7, 4)
+    dam = _scores(pairs_df, "Damerau")
+    assert dam[("kitten", "sitting")] == round(1 - 3 / 7, 4)
+    assert dam[(None, "abc")] == 0.0
+
+
+def test_best_metric_argmax(spark):
+    df = spark.createDataFrame([("world hello", "hello world")], "a string, b string")
+    r = df.select(best_metric(F.col("a"), F.col("b")).alias("bm")).collect()[0]["bm"]
+    assert r["score"] == 1.0 and r["metric"] == "TokenEqual"
+
+
+def test_regex_identifier_equal(pairs_df):
+    rows = pairs_df.select(
+        "a", "b", regex_identifier_equal(F.col("a"), F.col("b")).alias("s")
+    ).collect()
+    s = {(r["a"], r["b"]): r["s"] for r in rows}
+    assert s[("conv-001", "conv_001")] == 1.0
+    assert s[("CA", "ca")] == 1.0
+    assert s[("kitten", "sitting")] == 0.0
