@@ -1,0 +1,88 @@
+"""Structured Streaming tail of the change log into an Icelet table.
+
+The streaming twin of ``replay.run_replay`` — both funnel every
+micro-batch through ``IceletTable.apply_epoch`` (LWW dedup+MERGE +
+manifest-fenced commit), so a checkpointed stream and a bounded batch
+replay produce identical state.  This is the ``foreachBatch`` pattern
+the north_star mandates: one shared apply function, two drivers.
+
+Exactly-once composition:
+* Structured Streaming's checkpoint guarantees at-least-once delivery of
+  each micro-batch to ``foreachBatch`` (re-delivery after restart);
+* the Icelet manifest fence turns re-delivery into a no-op (the batch's
+  LSN range is already committed);
+* and even a *torn* fence would be safe: the LWW MERGE fold is
+  idempotent by construction.
+Watermarks are deliberately unnecessary for correctness — max-(ts,lsn)
+merge is order-insensitive (SURVEY §2.9); ``withWatermark`` only bounds
+tombstone GC via ``compact()``.
+
+Throttling: ``maxFilesPerTrigger`` is the engine's analog of the
+reference's 500 ms politeness delay on its serial HTTP source
+(AlignmentProcessor.java:1162-1167, config.json:9) — back-pressure at
+the source, not sleeps in the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from filipo_spark.schema import CHANGE_SCHEMA
+from filipo_spark.table.icelet import IceletTable
+
+
+def tail_changelog(
+    spark: SparkSession,
+    source_dir: str,
+    table: IceletTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    mapping=None,
+) -> dict:
+    """Tail parquet change files from ``source_dir`` into ``table``.
+
+    ``available_now=True`` drains everything currently present and stops
+    (the testable mode); pass False for a continuous micro-batch tail.
+    ``mapping`` (align.Mapping) re-types drifted payloads in-stream.
+    """
+    if mapping is None:
+        stream = spark.readStream.schema(CHANGE_SCHEMA)
+    else:
+        from filipo_spark.schema import DRIFTED_SCHEMA
+
+        stream = spark.readStream.schema(DRIFTED_SCHEMA)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = stream.parquet(source_dir)
+    if mapping is not None:
+        from filipo_spark.align import apply_mapping
+
+        df = apply_mapping(df, mapping)
+
+    stats = {"batches": 0, "skipped": 0}
+
+    def apply_fn(batch_df, batch_id: int) -> None:
+        bounds = batch_df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+        if bounds["lo"] is None:
+            return
+        evo = [] if mapping is None else list(mapping.evolution_events)
+        res = table.apply_epoch(
+            spark, batch_df, epoch=int(batch_id),
+            offset_lo=int(bounds["lo"]) - 1, offset_hi=int(bounds["hi"]),
+            evolution_events=evo,
+        )
+        stats["batches"] += 1
+        stats["skipped"] += int(res.skipped)
+
+    writer = df.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        stats["query"] = q
+    return stats
