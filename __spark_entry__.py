@@ -211,6 +211,147 @@ def q_topk_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline ops on documents/embeddings (build-brief additions)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text fingerprint."""
+    from filipo_spark.operators.dedup_text import exact_dedup
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return exact_dedup(read_table(spark, sf_dir, "documents")).orderBy("fp")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via word-3-shingle Jaccard (inverted-index join)."""
+    from filipo_spark.operators.dedup_text import ngram_jaccard_pairs
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.35
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=4, md5-based → engine-portable)."""
+    from filipo_spark.operators.dedup_text import minhash_signatures
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return minhash_signatures(
+        read_table(spark, sf_dir, "documents"), k_hashes=4
+    ).orderBy("doc")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding → candidate pairs → exact-Jaccard verify.
+    (Band-bucket logic: non-SQL → rows-only driver check.)"""
+    from filipo_spark.operators.dedup_text import minhash_lsh_pairs
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"),
+        k_hashes=8, bands=4, verify_threshold=0.35,
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (pigeonhole chunks + Hamming filter).
+    xxhash64 bit votes: non-SQL → rows-only driver check."""
+    from filipo_spark.operators.dedup_text import simhash_near_pairs
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return simhash_near_pairs(
+        read_table(spark, sf_dir, "documents"), max_hamming=8
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (ws + BPE-ish), quality score, language ID,
+    md5 fingerprint — per document."""
+    from filipo_spark.functions.text import (
+        fingerprint_md5,
+        lang_id,
+        quality_score,
+        token_count_bpe,
+        token_count_ws,
+    )
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe(F.col("text")).alias("n_bpe"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 5 vectors (ANN baseline)."""
+    from filipo_spark.operators.similarity_join import cosine_topk
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where("vec_id < 5"), k=3).orderBy("query_id", "rank")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (scale path; recall asserted in
+    tests) — rows-only driver check."""
+    from filipo_spark.operators.similarity_join import ann_ivf_topk
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(
+        emb, emb.where("vec_id < 5"), k=3, n_centroids=8, n_probes=4
+    ).orderBy("query_id", "rank")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → mapInPandas feature
+    extraction (decode kernel stubbed; Arrow path real) — rows-only."""
+    from filipo_spark.functions.multimodal import extract_features, gen_media
+
+    _utc(spark)
+    return (
+        extract_features(gen_media(spark, n=200, seed=42), dim=8)
+        .select("media_id", "kind", "n_bytes")
+        .orderBy("media_id")
+    )
+
+
+def q_schema_evolution_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FiLiPo core: recover a drifted payload→column mapping from an
+    echo probe sample (golden drift profile 'typedrift') — rows-only
+    (iterative decision rules, non-SQL)."""
+    from filipo_spark.align import align
+    from filipo_spark.generators import gen_drifted, gen_echo_changelog, gen_transcripts
+
+    _utc(spark)
+    target = gen_transcripts(spark, n_conv=30, max_turns=15, seed=42)
+    mapping = align(gen_drifted(gen_echo_changelog(target), "typedrift"), target)
+    rows = [
+        (k, v, "Identifier", 1.0) for k, v in sorted(mapping.key_fields.items())
+    ] + [
+        (r["tgt_column"], r["src_field"], r["metric"], float(r["confidence"]))
+        for r in mapping.columns
+    ]
+    return spark.createDataFrame(
+        rows, "tgt_column string, src_field string, metric string, confidence double"
+    ).orderBy("tgt_column")
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -232,6 +373,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "sample_per_group": q_sample_per_group,
         "topk_confidence": q_topk_confidence,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "text_metrics": q_text_metrics,
+        "cosine_topk": q_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "media_features": q_media_features,
+        "schema_evolution_mapping": q_schema_evolution_mapping,
     }
 
 
@@ -260,6 +411,20 @@ ranked AS (
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM ranked WHERE rn = 1 AND op <> 'D'
 ORDER BY conv_id, turn_idx
+"""
+
+# word-3-shingles per document (shared by the dedup oracles); DuckDB list
+# slicing toks[i:i+2] is inclusive → 3 tokens
+_SHINGLE_SQL = r"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct([
+    array_to_string(toks[i:i+2], ' ')
+    FOR i IN range(1, CASE WHEN len(toks) >= 3 THEN len(toks) - 1 ELSE 2 END)
+  ])) AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+') toks
+        FROM documents)
+)
 """
 
 _PROFILE_ORDERS = """
@@ -354,4 +519,68 @@ ORDER BY s_nationkey, s_name""",
 SELECT event_type, ROUND(AVG(value), 4) AS confidence, COUNT(*) AS n
 FROM events GROUP BY event_type
 ORDER BY confidence DESC, event_type LIMIT 3""",
+        "dedup_exact_docs": r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY fp""",
+        "ngram_jaccard_pairs": _SHINGLE_SQL + r"""
+, sizes AS (SELECT doc, count(*) n FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc da, b.doc db, count(*) i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc = da JOIN sizes sb ON sb.doc = db
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+ORDER BY doc_a, doc_b""",
+        "minhash_signatures": _SHINGLE_SQL + r"""
+SELECT doc, min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
+       min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3
+FROM sh GROUP BY doc ORDER BY doc""",
+        "text_metrics": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') ltoks,
+         length(text) n
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END n_ws,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) n_bpe,
+    least(CAST(n AS DOUBLE)/500, 1.0) len_score,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(ltoks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / len(toks)
+      ELSE 0.0 END sw,
+    CASE WHEN n > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE)/n ELSE 0.0 END pr,
+    len(list_intersect(list_distinct(ltoks), ['the','and','of','to','a','in','is','it','that','for'])) v_en,
+    len(list_intersect(list_distinct(ltoks), ['el','la','de','que','y','en','un','por','con','los'])) v_es,
+    len(list_intersect(list_distinct(ltoks), ['der','die','und','das','ist','von','mit','den','ein','zu'])) v_de,
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp
+  FROM t)
+SELECT doc_id, n_ws, n_bpe,
+  floor(greatest(0.0, len_score*0.4 + least(sw*5,1.0)*0.5 - least(pr*2,1.0)*0.2 + 0.3) * 10000) / 10000 AS quality,
+  CASE WHEN greatest(v_en, v_es, v_de) = 0 THEN 'und'
+       WHEN v_en >= v_es AND v_en >= v_de THEN 'en'
+       WHEN v_es >= v_de THEN 'es' ELSE 'de' END AS lang_guess,
+  fp
+FROM f ORDER BY doc_id""",
+        "cosine_topk": """
+WITH scored AS (
+  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+         round(CAST(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS DOUBLE), 4) score
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank""",
+        # minhash_lsh_pairs / simhash_near_pairs / ann_ivf_topk /
+        # media_features / schema_evolution_mapping: intentionally no
+        # oracle (banding, xxhash64 bit votes, IVF assignment, mapInPandas
+        # and iterative alignment rules are not ANSI-SQL-expressible) —
+        # driver records rows-only checks; pytest covers them vs
+        # recall/golden asserts (tests/test_text_ops.py, test_mapper.py).
     }

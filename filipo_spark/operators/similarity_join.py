@@ -1,0 +1,141 @@
+"""Embedding similarity search: brute-force cosine top-k (the exactness
+baseline) and an IVF-bucketed approximate variant (the scale path).
+
+All vector math is native Catalyst lambda expressions over
+``array<float>`` (``zip_with`` + ``aggregate``) — no UDF, stays in
+codegen; the dot product of two 64-dim vectors is a tight JVM loop.
+
+Scale shape: brute force is a crossJoin (query-set × corpus) — fine for
+|queries| ≪ |corpus| with the query side broadcast; IVF turns it into
+an equi-join on the centroid assignment, cutting compared pairs by the
+centroid count (recall traded via ``n_probes``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (broadcast queries × corpus).
+    Output: (query_id, neighbor_id, score) with rank ties broken by id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its n_probes nearest centroids (broadcast
+    centroid table — tiny by construction)."""
+    c = centroids.select(
+        F.col("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = df.crossJoin(F.broadcast(c)).select(
+        id_col, vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("cv")).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probes)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Seed centroids = the n corpus vectors with smallest md5(id) —
+    deterministic, no iteration (k-means init without the k-means;
+    adequate for bucketing, replaceable by trained centroids)."""
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_centroids)
+        .select(F.col("rn").alias("centroid_id"), F.col(vec_col))
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only vectors sharing a probed centroid
+    bucket.  Recall vs brute force is asserted in tests."""
+    cents = deterministic_centroids(corpus, n_centroids, id_col, vec_col)
+    c_assign = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    )
+    q_assign = ivf_assign(queries, cents, n_probes, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
+    )
+    scored = (
+        q_assign.join(c_assign, on="centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("score"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1,0 +1,44 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, determinism,
+real-decoder seam, frame-sample plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from filipo_spark.functions.multimodal import (
+    FEATURE_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+    gen_media,
+)
+
+from tests.conftest import df_rows
+
+
+def test_feature_extraction_deterministic(spark):
+    media = gen_media(spark, n=60, seed=7)
+    f1 = extract_features(media, dim=8)
+    assert f1.schema == FEATURE_SCHEMA
+    rows1 = df_rows(f1.select("media_id", "kind", "n_bytes"))
+    assert len(rows1) == 60
+    f2 = extract_features(gen_media(spark, n=60, seed=7), dim=8)
+    assert rows1 == df_rows(f2.select("media_id", "kind", "n_bytes"))
+    feat = f1.where("media_id = 0").collect()[0]["feature"]
+    assert len(feat) == 8 and all(0.0 <= x <= 1.0 for x in feat)
+
+
+def test_real_decoder_seam_raises(spark):
+    media = gen_media(spark, n=5)
+    with pytest.raises(Exception, match="NotImplementedError|real decoders"):
+        extract_features(media, decoder="real").collect()
+
+
+def test_frame_sample_plan(spark):
+    media = gen_media(spark, n=100, seed=7)
+    plan = frame_sample_plan(media, every_ms=5000)
+    vids = media.where("kind = 'video'")
+    got = plan.groupBy("media_id").count().collect()
+    durs = {r["media_id"]: r["duration_ms"] for r in vids.collect()}
+    for r in got:
+        expected = (durs[r["media_id"]] - 1) // 5000 + 1
+        assert r["count"] == expected
