@@ -330,6 +330,42 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degenerate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (CDC guise): columns whose modal value covers ≥ 30% of rows —
+    degenerate 'error page' detection (AlignmentProcessor.java:251-310)."""
+    from filipo_spark.align.scp import degenerate_columns
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return degenerate_columns(
+        read_table(spark, sf_dir, "orders"), threshold=0.3
+    ).orderBy("column_name")
+
+
+def q_support_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 SCP: support/confidence of (event_type, value-bucket) pairs
+    split by purchasing vs non-purchasing users
+    (SupportConfidenceProcessor.java:18-48)."""
+    from filipo_spark.align.scp import scp
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    obs = e.select(
+        F.col("user_id").alias("record_id"),
+        F.col("event_type").alias("field"),
+        F.floor(F.col("value") / 100).cast("int").cast("string").alias("value"),
+    )
+    buyers = e.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("record_id")
+    ).distinct()
+    matching = obs.join(buyers, on="record_id")
+    nonmatching = obs.join(buyers, on="record_id", how="left_anti")
+    return scp(matching, nonmatching).orderBy(
+        F.desc("confidence"), "field", "value"
+    )
+
+
 def q_schema_evolution_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FiLiPo core: recover a drifted payload→column mapping from an
     echo probe sample (golden drift profile 'typedrift') — rows-only
@@ -382,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "degenerate_columns": q_degenerate_columns,
+        "support_confidence": q_support_confidence,
         "schema_evolution_mapping": q_schema_evolution_mapping,
     }
 
@@ -577,6 +615,50 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
 ORDER BY query_id, rank""",
+        "degenerate_columns": """
+WITH longf AS (
+  SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS value FROM orders
+  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+freq AS (
+  SELECT column_name, value, count(*) n FROM longf
+  WHERE value IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT column_name, count(*) n_col FROM longf WHERE value IS NOT NULL GROUP BY 1),
+modal AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY column_name ORDER BY n DESC, value ASC) rn
+  FROM freq)
+SELECT m.column_name, m.value AS modal_value,
+       round(CAST(m.n AS DOUBLE) / t.n_col, 6) AS modal_ratio
+FROM modal m JOIN tot t ON m.column_name = t.column_name
+WHERE rn = 1 AND CAST(m.n AS DOUBLE) / t.n_col >= 0.3
+ORDER BY m.column_name""",
+        "support_confidence": """
+WITH obs AS (
+  SELECT user_id AS record_id, event_type AS field,
+         CAST(CAST(floor(value/100) AS INT) AS VARCHAR) AS value
+  FROM events),
+buyers AS (SELECT DISTINCT user_id AS record_id FROM events WHERE event_type = 'purchase'),
+m AS (SELECT o.* FROM obs o JOIN buyers b USING (record_id)),
+nm AS (SELECT o.* FROM obs o ANTI JOIN buyers b USING (record_id)),
+stats AS (
+  SELECT (SELECT count(DISTINCT record_id) FROM obs) n_total,
+         (SELECT count(DISTINCT record_id) FROM m) n_valid),
+per_pair AS (
+  SELECT field, value, count(*) n_all,
+         sum(CASE WHEN src = 'm' THEN 1 ELSE 0 END) n_match
+  FROM (SELECT *, 'm' src FROM m UNION ALL SELECT *, 'n' src FROM nm)
+  GROUP BY 1, 2)
+SELECT field, value,
+       round(CAST(n_all AS DOUBLE) / s.n_total, 6) AS support,
+       round((CAST(n_match AS DOUBLE) / s.n_total) / (CAST(n_all AS DOUBLE) / s.n_total), 6) AS confidence
+FROM per_pair, stats s
+WHERE (CAST(n_match AS DOUBLE) / n_all) > CAST(s.n_valid AS DOUBLE) / s.n_total
+ORDER BY confidence DESC, field, value""",
         # minhash_lsh_pairs / simhash_near_pairs / ann_ivf_topk /
         # media_features / schema_evolution_mapping: intentionally no
         # oracle (banding, xxhash64 bit votes, IVF assignment, mapInPandas

@@ -271,32 +271,67 @@ def align(
             .withColumn("confidence", F.col("votes") / F.col("n_present"))
             .where(F.col("confidence") >= min_confidence)
         )
-        # one src per tgt column: arg-max by confidence, then metric
-        # precision rank (an exact-equality mapping beats a fuzzy one —
-        # the identifier-fast-path preference lifted to field selection),
-        # then votes (A9)
-        rank = (
-            F.when(F.col("metric") == "Equal", 3)
-            .when(F.col("metric").isin(list(EQUALS_METRICS)), 2)
-            .otherwise(1)
-        )
-        w_tgt = Window.partitionBy("tgt_column").orderBy(
-            F.desc("confidence"), F.desc(rank), F.desc("votes"), F.asc("src_field")
-        )
-        final = (
-            scoredmap.withColumn("rn", F.row_number().over(w_tgt))
-            .where("rn = 1")
-            .select(
-                "tgt_column",
-                "src_field",
-                "metric",
-                "votes",
+        singles = [
+            dict(r.asDict(), n_parts=1, exact=r["metric"] in EQUALS_METRICS)
+            for r in scoredmap.select(
+                "tgt_column", "src_field", "metric", "votes",
                 F.round("support", 4).alias("support"),
                 F.round("confidence", 4).alias("confidence"),
+            ).collect()
+        ]
+
+        # --- combined linkage points (J5, :674-717): when ≥2 src fields
+        # vote for the SAME target column (FiLiPo's temporaryLinkagePoints
+        # shape), their CONCATENATION may be the true mapping (first+last-
+        # name case; here: text_head+text_tail).  Also probe fully-unmapped
+        # targets against fully-unmapped src pairs. ---
+        cand_by_tgt: dict[str, set] = {}
+        for r in singles:
+            cand_by_tgt.setdefault(r["tgt_column"], set()).add(r["src_field"])
+        multi_tgt = [t for t, s in cand_by_tgt.items() if len(s) >= 2]
+        single_tgt = set(cand_by_tgt)
+        unmapped_tgt = [
+            f.name
+            for f in TARGET_SCHEMA.fields
+            if f.name not in single_tgt and f.name not in key_fields
+        ]
+        all_src = [
+            r["src_field"] for r in src_flat.select("src_field").distinct().collect()
+        ]
+        mapped_src = {r["src_field"] for r in singles} | set(key_fields.values())
+        unmapped_src = [s for s in all_src if s not in mapped_src]
+        comb_tgt = multi_tgt + unmapped_tgt
+        comb_src = sorted(
+            set().union(*(cand_by_tgt[t] for t in multi_tgt)) if multi_tgt else set()
+        ) + unmapped_src
+        combined = (
+            _combined_pass(
+                src_flat, tgt_long, paired, matching, comb_tgt, comb_src,
+                n_matching, string_similarity, candidate_responses,
             )
-            .orderBy("tgt_column")
+            if comb_tgt and len(comb_src) >= 2
+            else []
         )
-        cols = [r.asDict() for r in final.collect()]
+        for r in combined:
+            r["n_parts"] = 2
+            r["exact"] = True
+
+        # --- final selection per target column: confidence, then exactness
+        # (an exact mapping beats a fuzzy one — the identifier-fast-path
+        # preference lifted to field selection), then fewer parts (a single
+        # field beats a concatenation at equal strength), then votes ---
+        cols = []
+        for tgt in sorted({r["tgt_column"] for r in singles + combined}):
+            pool = [r for r in singles + combined if r["tgt_column"] == tgt]
+            best_row = max(
+                pool,
+                key=lambda r: (
+                    r["confidence"], r["exact"], -r["n_parts"], r["votes"],
+                    [-ord(ch) for ch in r["src_field"]],
+                ),
+            )
+            cols.append({k: v for k, v in best_row.items() if k not in ("n_parts", "exact")})
+
         events = [
             f"map:{key_fields['conv_id']}->conv_id(key)",
             f"map:{key_fields['turn_idx']}->turn_idx(key)",
@@ -308,6 +343,65 @@ def align(
     finally:
         src_flat.unpersist()
         tgt_long.unpersist()
+
+
+def _combined_pass(
+    src_flat: DataFrame,
+    tgt_long: DataFrame,
+    paired: DataFrame,
+    matching: DataFrame,
+    unmapped_tgt: list[str],
+    unmapped_src: list[str],
+    n_matching: int,
+    string_similarity: float,
+    candidate_responses: float,
+) -> list[dict]:
+    """Score concat(f1, f2) (and with a space) of unmapped src-field
+    pairs against unmapped target columns over the matching probe set —
+    the engine's combined linkage point (AlignmentProcessor.java:674-717,
+    co-occurrence condition :697-709)."""
+    base = (
+        paired.join(matching, on="lsn")
+        .join(
+            src_flat.where(F.col("src_field").isin(unmapped_src)), on="lsn"
+        )
+    )
+    a = base.select("lsn", *KEY_COLUMNS, F.col("src_field").alias("f1"), F.col("src_value").alias("v1"))
+    b = base.select("lsn", F.col("src_field").alias("f2"), F.col("src_value").alias("v2"))
+    pairs = a.join(b, on="lsn").where(F.col("f1") != F.col("f2"))
+    t = tgt_long.where(F.col("tgt_column").isin(unmapped_tgt))
+    joined = pairs.join(t, on=KEY_COLUMNS)
+    cat = F.concat(F.col("v1"), F.col("v2"))
+    cat_sp = F.concat_ws(" ", F.col("v1"), F.col("v2"))
+    score = F.greatest(
+        (cat == F.col("tgt_value")).cast("double"),
+        (cat_sp == F.col("tgt_value")).cast("double") * 0.999,  # prefer plain concat
+    )
+    hits = joined.select(
+        "lsn", "f1", "f2", "tgt_column", score.alias("score")
+    ).where(F.col("score") >= string_similarity)
+    votes = hits.groupBy("f1", "f2", "tgt_column").agg(
+        F.count(F.lit(1)).alias("votes"), F.max("score").alias("mx")
+    ).where(F.col("votes") >= n_matching * candidate_responses)
+    w = Window.partitionBy("tgt_column").orderBy(
+        F.desc("votes"), F.desc("mx"), F.asc("f1"), F.asc("f2")
+    )
+    rows = votes.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    out = []
+    for r in rows:
+        sep = "" if r["mx"] >= 1.0 else " "
+        out.append(
+            {
+                "tgt_column": r["tgt_column"],
+                "src_field": f"{r['f1']}+{r['f2']}",
+                "metric": "CombinedEqual",
+                "votes": r["votes"],
+                "support": round(r["votes"] / n_matching, 4),
+                "confidence": round(r["votes"] / n_matching, 4),
+                "combine_sep": sep,
+            }
+        )
+    return out
 
 
 def _payload_get(field_name: str):
@@ -322,13 +416,29 @@ def _payload_get(field_name: str):
 
 def apply_mapping(drifted: DataFrame, mapping: Mapping) -> DataFrame:
     """Drifted (lsn, op, payload) → CHANGE_SCHEMA rows, ALTER-free:
-    renames + casts driven by the mapping; unmapped target columns null.
-    Pure column projection — runs on full batches at stream volume."""
+    renames + casts driven by the mapping; combined linkage points
+    concatenate their parts; unmapped target columns null.  Pure column
+    projection — runs on full batches at stream volume."""
     m = mapping.as_dict()
+    seps = {
+        r["tgt_column"]: r.get("combine_sep", "")
+        for r in mapping.columns
+        if "+" in r["src_field"]
+    }
     cols = [F.col("lsn"), F.col("op")]
     for f_ in TARGET_SCHEMA.fields:
         if f_.name in m:
-            cols.append(_payload_get(m[f_.name]).cast(f_.dataType).alias(f_.name))
+            src = m[f_.name]
+            if "+" in src:
+                parts = [_payload_get(p) for p in src.split("+")]
+                expr = F.concat_ws(seps.get(f_.name, ""), *parts)
+                # concat_ws skips nulls; an all-null pair must stay null
+                expr = F.when(
+                    parts[0].isNull() & parts[1].isNull(), F.lit(None)
+                ).otherwise(expr)
+            else:
+                expr = _payload_get(src)
+            cols.append(expr.cast(f_.dataType).alias(f_.name))
         else:
             cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
     return drifted.select(*cols)

@@ -233,6 +233,19 @@ def gen_drifted(changes: DataFrame, profile: str = "rename") -> DataFrame:
             ("tools[0].name", F.col("tool")),
             ("message.meta.time", iso_ts),
         ]
+    elif profile == "split":
+        # text delivered split in two (FiLiPo's first+last-name combined
+        # linkage case, AlignmentProcessor.java:674-717)
+        half = F.floor(F.length("text") / 2).cast("int")
+        entries = [
+            ("conversation_id", F.col("conv_id")),
+            ("turnIndex", F.col("turn_idx").cast("string")),
+            ("role", F.col("role")),
+            ("text_head", F.col("text").substr(F.lit(1), half)),
+            ("text_tail", F.col("text").substr(half + 1, F.length("text"))),
+            ("tool_name", F.col("tool")),
+            ("event_time", iso_ts),
+        ]
     elif profile == "decoy":
         entries = [
             ("conversation_id", F.col("conv_id")),
