@@ -67,6 +67,30 @@ class Mapping:
         d.update({r["tgt_column"]: r["src_field"] for r in self.columns})
         return d
 
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {
+                "key_fields": self.key_fields,
+                "columns": self.columns,
+                "evolution_events": self.evolution_events,
+            },
+            sort_keys=True,
+            indent=2,
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Mapping":
+        import json
+
+        d = json.loads(s)
+        return cls(
+            key_fields=d["key_fields"],
+            columns=d["columns"],
+            evolution_events=d.get("evolution_events", []),
+        )
+
 
 def flatten_payload(drifted: DataFrame) -> DataFrame:
     """(lsn, op, payload) → long rows (lsn, src_field, src_value) with

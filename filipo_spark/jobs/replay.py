@@ -1,0 +1,71 @@
+"""spark-submit job: replay a change log into an Icelet table.
+
+    spark-submit --py-files filipo_spark.zip filipo_spark/jobs/replay.py \
+        --source /data/wal --table /data/transcripts \
+        --batch-size 100000000 --n-buckets 256 [--bootstrap /data/seed.parquet]
+
+Exactly-once: re-running with the same source/table resumes from the
+commit manifest (committed LSN ranges are skipped).  Threshold/size
+knobs keep FiLiPo's config vocabulary where they correspond
+(config.json:13-30).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True, help="parquet dir of CHANGE_SCHEMA rows")
+    ap.add_argument("--table", required=True, help="Icelet table root (created if absent)")
+    ap.add_argument("--batch-size", type=int, default=1_000_000)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    ap.add_argument("--bootstrap", help="optional parquet of initial logical target rows")
+    ap.add_argument("--mapping", help="optional mapping.json to re-type a drifted source")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="run delta compaction after every N epochs (0 = never)")
+    ap.add_argument("--cpus", type=int, default=0, help="local[N] cores (0 = local[*])")
+    args = ap.parse_args(argv)
+
+    from filipo_spark.replay import run_replay
+    from filipo_spark.session import get_spark
+    from filipo_spark.table.icelet import IceletTable
+
+    spark = get_spark("filipo-replay", cores=args.cpus or None)
+    if os.path.exists(os.path.join(args.table, "metadata", "CURRENT")):
+        table = IceletTable.load(args.table)
+    else:
+        table = IceletTable.create(args.table, n_buckets=args.n_buckets, mode=args.mode)
+        if args.bootstrap:
+            table.bootstrap(spark.read.parquet(args.bootstrap))
+
+    source = spark.read.parquet(args.source)
+    if args.mapping:
+        from filipo_spark.align import Mapping, apply_mapping
+
+        with open(args.mapping) as f:
+            source = apply_mapping(source, Mapping.from_json(f.read()))
+
+    report = run_replay(spark, table, source, batch_size=args.batch_size)
+    if args.compact_every:
+        table.compact(spark, min_files=args.compact_every)
+
+    from filipo_spark.metrics import replay_metrics
+
+    out = {
+        "epochs_applied": report.epochs_applied,
+        "epochs_skipped": report.epochs_skipped,
+        "events_seen": report.events_seen,
+        **replay_metrics(table),
+    }
+    json.dump(out, sys.stdout)
+    print()
+
+
+if __name__ == "__main__":
+    main()

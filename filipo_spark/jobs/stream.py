@@ -1,0 +1,61 @@
+"""spark-submit job: Structured Streaming tail of a change log.
+
+    spark-submit --py-files filipo_spark.zip filipo_spark/jobs/stream.py \
+        --source /data/wal --table /data/transcripts --checkpoint /data/ckpt \
+        [--continuous] [--max-files-per-trigger 64] [--mapping mapping.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--continuous", action="store_true",
+                    help="keep tailing (default: drain available data and stop)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--mapping", help="optional mapping.json for a drifted source")
+    ap.add_argument("--cpus", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from filipo_spark.session import get_spark
+    from filipo_spark.streaming.tail import tail_changelog
+    from filipo_spark.table.icelet import IceletTable
+
+    spark = get_spark("filipo-stream", cores=args.cpus or None)
+    if os.path.exists(os.path.join(args.table, "metadata", "CURRENT")):
+        table = IceletTable.load(args.table)
+    else:
+        table = IceletTable.create(args.table, n_buckets=args.n_buckets)
+
+    mapping = None
+    if args.mapping:
+        from filipo_spark.align import Mapping
+
+        with open(args.mapping) as f:
+            mapping = Mapping.from_json(f.read())
+
+    stats = tail_changelog(
+        spark, args.source, table, args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=not args.continuous,
+        mapping=mapping,
+    )
+    if args.continuous:
+        stats.pop("query").awaitTermination()
+    from filipo_spark.metrics import replay_metrics
+
+    json.dump({**stats, **replay_metrics(table)}, sys.stdout)
+    print()
+
+
+if __name__ == "__main__":
+    main()
