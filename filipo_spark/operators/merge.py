@@ -79,37 +79,46 @@ def merge_upserts(target_phys: DataFrame, winners: DataFrame) -> DataFrame:
     )
 
 
-def lww_resolve(phys: DataFrame, n_buckets: int | None = None) -> DataFrame:
+def lww_resolve(
+    phys: DataFrame, n_buckets: int | None = None, salt_factor: int = 2
+) -> DataFrame:
     """Fold physical rows (possibly many versions per key) to the
     winning version per key — the merge-on-read resolve step.  One hash
     aggregate; associative, so any union of base and delta files
     resolves correctly.
 
     With ``n_buckets`` set, the fold is *bucket-aligned*: rows are
-    exchanged once on ``_bucket = pmod(xxhash64(conv_id), n)`` and the
-    aggregation runs on that partitioning (valid because bucket is a
-    function of the key, so hash-partitioning by bucket clusters keys).
-    The output keeps ``_bucket`` and is ready for a partitionBy write
-    with NO second exchange — one payload shuffle per epoch instead of
-    two, the dominant cost at scale."""
+    exchanged once on ``(_bucket, _salt)`` where ``_bucket =
+    pmod(xxhash64(conv_id), n)`` and ``_salt`` is a key-hash shard.
+    Both are functions of the key, so the partitioning clusters keys;
+    grouping includes them so Catalyst adds NO second exchange, and the
+    output is ready for a partitionBy write — one payload shuffle per
+    epoch total.  The salt (the north_star's "salted hash-partitioned
+    key grouping") exists because hashing only ~n_buckets distinct
+    bucket values into n_buckets partitions leaves ~1/e of them empty
+    and others double-loaded — straggler waves; key-hash salting makes
+    the n_buckets × salt_factor partitions uniform.  ``salt_factor`` is
+    table metadata (fixed at create), so file layout is replay-
+    deterministic regardless of cluster size."""
     others = [c for c in PHYS_COLUMNS if c not in KEY_COLUMNS]
     if n_buckets is None:
         agg = phys.groupBy(*KEY_COLUMNS).agg(
             F.max_by(F.struct(*others), _order_struct()).alias("_w")
         )
-        cols = KEY_COLUMNS
-    else:
-        b = phys.withColumn("_bucket", bucket_of(F.col("conv_id"), n_buckets))
-        agg = (
-            b.repartition(n_buckets, "_bucket")
-            .groupBy("_bucket", *KEY_COLUMNS)
-            .agg(F.max_by(F.struct(*others), _order_struct()).alias("_w"))
-        )
-        cols = ["_bucket", *KEY_COLUMNS]
-    lead = [] if n_buckets is None else ["_bucket"]
+        return agg.select(
+            *KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in others]
+        ).select(*PHYS_COLUMNS)
+    b = phys.withColumn("_bucket", bucket_of(F.col("conv_id"), n_buckets)).withColumn(
+        "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_factor))
+    )
+    agg = (
+        b.repartition(n_buckets * salt_factor, "_bucket", "_salt")
+        .groupBy("_bucket", "_salt", *KEY_COLUMNS)
+        .agg(F.max_by(F.struct(*others), _order_struct()).alias("_w"))
+    )
     return agg.select(
-        *cols, *[F.col(f"_w.{c}").alias(c) for c in others]
-    ).select(*lead, *PHYS_COLUMNS)
+        "_bucket", *KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in others]
+    ).select("_bucket", *PHYS_COLUMNS)
 
 
 def changes_to_physical(changes: DataFrame) -> DataFrame:

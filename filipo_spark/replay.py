@@ -59,12 +59,16 @@ def run_replay(
     batch_size: int = 100_000,
     max_epochs: int | None = None,
     fail_after_data_write_on_epoch: int | None = None,
+    compact_every: int = 0,
+    compact_min_files: int = 8,
 ) -> ReplayReport:
     """Replay ``source`` (CHANGE_SCHEMA) into ``table`` in LSN-ordered epochs.
 
-    ``fail_after_data_write_on_epoch`` is a test hook simulating a crash
-    after data files land but before the commit pointer swaps (the
-    dangerous window of any two-phase commit).
+    ``compact_every=k`` folds over-fragmented buckets every k applied
+    epochs (MoR maintenance — bounds read amplification during long
+    replays).  ``fail_after_data_write_on_epoch`` is a test hook
+    simulating a crash after data files land but before the commit
+    pointer swaps (the dangerous window of any two-phase commit).
     """
     bounds = source.agg(
         F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
@@ -86,6 +90,8 @@ def run_replay(
         res = table.apply_epoch(spark, batch, epoch, lo, hi)
         report.commits.append(res)
         report.epochs_applied += 1
+        if compact_every and report.epochs_applied % compact_every == 0:
+            table.compact(spark, min_files=compact_min_files, epoch=epoch)
     return report
 
 

@@ -57,10 +57,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filipo_spark.operators.dedup import lww_dedup
 from filipo_spark.operators.merge import (
     PHYS_COLUMNS,
-    apply_batch,
     bucket_of,
     changes_to_physical,
     lww_resolve,
@@ -84,11 +82,13 @@ class CommitResult:
 
 
 class IceletTable:
-    def __init__(self, root: str, n_buckets: int = N_BUCKETS_DEFAULT, mode: str = "mor"):
+    def __init__(self, root: str, n_buckets: int = N_BUCKETS_DEFAULT, mode: str = "mor",
+                 salt_factor: int = 2):
         assert mode in ("mor", "cow")
         self.root = root
         self.n_buckets = n_buckets
         self.mode = mode
+        self.salt_factor = salt_factor
 
     # --- paths ---------------------------------------------------------
     @property
@@ -105,16 +105,18 @@ class IceletTable:
     # --- lifecycle -----------------------------------------------------
     @classmethod
     def create(
-        cls, root: str, n_buckets: int = N_BUCKETS_DEFAULT, mode: str = "mor"
+        cls, root: str, n_buckets: int = N_BUCKETS_DEFAULT, mode: str = "mor",
+        salt_factor: int = 2,
     ) -> "IceletTable":
-        t = cls(root, n_buckets, mode)
+        t = cls(root, n_buckets, mode, salt_factor)
         os.makedirs(t._meta, exist_ok=True)
         os.makedirs(t._data, exist_ok=True)
         sid = "empty"
         with open(t._snap_path(sid), "w") as f:
             json.dump(
                 {"snapshot_id": sid, "parent": None, "epoch": -1,
-                 "n_buckets": n_buckets, "mode": mode, "files": {}},
+                 "n_buckets": n_buckets, "mode": mode,
+                 "salt_factor": salt_factor, "files": {}},
                 f,
             )
         t._swap_current(sid)
@@ -126,6 +128,7 @@ class IceletTable:
         snap = t.current_snapshot()
         t.n_buckets = snap["n_buckets"]
         t.mode = snap.get("mode", "mor")
+        t.salt_factor = snap.get("salt_factor", 2)
         return t
 
     # --- metadata ------------------------------------------------------
@@ -224,7 +227,8 @@ class IceletTable:
             # Bucket-aligned resolve → ONE payload shuffle, output ready
             # for partitionBy write.  Touched buckets are discovered from
             # the staging output dirs (no extra pre-scan of the batch).
-            out = lww_resolve(changes_to_physical(changes), n_buckets=self.n_buckets)
+            out = lww_resolve(changes_to_physical(changes), n_buckets=self.n_buckets,
+                              salt_factor=self.salt_factor)
             touched = None
             replace = False
         else:
@@ -249,6 +253,7 @@ class IceletTable:
                     changes_to_physical(changes)
                 ),
                 n_buckets=self.n_buckets,
+                salt_factor=self.salt_factor,
             )
             replace = True
         return self._commit(
@@ -274,8 +279,11 @@ class IceletTable:
         ]
         if not cands:
             return None
+        # salt_factor=1: compaction's contract is one folded file per
+        # bucket (parallelism = bucket count, fine for maintenance)
         resolved = lww_resolve(
-            self.read_raw(spark, buckets=cands), n_buckets=self.n_buckets
+            self.read_raw(spark, buckets=cands), n_buckets=self.n_buckets,
+            salt_factor=1,
         )
         return self._commit(
             resolved, epoch, offset_lo=None, offset_hi=None, touched=sorted(cands),
@@ -356,6 +364,7 @@ class IceletTable:
             "epoch": epoch,
             "n_buckets": self.n_buckets,
             "mode": self.mode,
+            "salt_factor": self.salt_factor,
             "files": files,
         }
         # crash ordering: snapshot json → manifest line → CURRENT pointer.
