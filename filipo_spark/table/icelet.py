@@ -36,9 +36,13 @@ Layout & semantics
   ``(offset_lo, offset_hi]`` already appears is skipped (idempotent
   replay); a crash between data write and pointer swap leaves orphan
   files no snapshot references — invisible to readers, collected by
-  ``vacuum()``.  This is the reference's delete-then-insert function-
-  store idempotence (OutputManager.java:65-70,296-303) turned into an
-  atomic-pointer commit protocol.
+  ``vacuum()``; a crash between pointer swap and manifest append leaves
+  the range unfenced, so restart re-applies it (safe: the LWW fold is
+  idempotent).  The fence line is always written LAST, so it can never
+  claim an epoch readers cannot see.  This is the reference's
+  delete-then-insert function-store idempotence
+  (OutputManager.java:65-70,296-303) turned into an atomic-pointer
+  commit protocol.
 
 Scale: metadata ops are O(buckets) driver-side JSON; reads pass explicit
 file lists to ``spark.read.parquet`` (no directory listing, exact
@@ -367,19 +371,26 @@ class IceletTable:
             "salt_factor": self.salt_factor,
             "files": files,
         }
-        # crash ordering: snapshot json → manifest line → CURRENT pointer.
-        # A crash before the pointer swap leaves the old snapshot live and
-        # the new files orphaned (vacuum()-collectable) — never a torn read.
+        # crash ordering: snapshot json → CURRENT pointer → manifest line.
+        # * crash before the pointer swap: old snapshot stays live, new
+        #   files are orphans (vacuum()-collectable) — never a torn read;
+        # * crash after the swap but before the manifest line: readers see
+        #   the new state and the offset range is NOT yet fenced, so a
+        #   restart re-applies the epoch — safe because the LWW fold is
+        #   idempotent (the same winners land again; resolve converges).
+        # The reverse order (manifest before pointer) would fence the
+        # range while readers stay on the parent snapshot: the epoch would
+        # be silently lost and its files vacuumed.
         with open(self._snap_path(sid), "w") as f:
             json.dump(snap, f, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
+        self._swap_current(sid)
         self._append_manifest(
             {"epoch": epoch, "offset_lo": offset_lo, "offset_hi": offset_hi,
              "snapshot_id": sid, "buckets": touched, "n_rows": n_rows,
              "kind": kind, "evolution_events": evolution_events}
         )
-        self._swap_current(sid)
         return CommitResult(
             epoch=epoch, snapshot_id=sid, skipped=False, buckets=touched, n_rows=n_rows
         )

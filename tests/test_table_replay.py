@@ -65,6 +65,38 @@ def test_replay_kill_resume(spark, tmp_path, log):
     assert df_rows(canonical(t.read_logical(spark))) == want
 
 
+def test_crash_between_pointer_swap_and_manifest(spark, tmp_path, log, monkeypatch):
+    """A crash after CURRENT swaps but before the manifest fence line is
+    appended must NOT lose the epoch: the offset range stays unfenced, a
+    restart re-applies it, and the idempotent LWW fold converges.  (The
+    reverse write order — fence before pointer — would record the range
+    as committed while readers stay on the parent snapshot, silently
+    dropping the epoch and letting vacuum() delete its files.)"""
+    want = expected_state(spark, log)
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=8)
+    run_replay(spark, t, log, batch_size=600, max_epochs=2)
+    orig = IceletTable._append_manifest
+
+    def boom(self, row):
+        raise RuntimeError("simulated crash before manifest append")
+
+    monkeypatch.setattr(IceletTable, "_append_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_replay(spark, t, log, batch_size=600)
+    monkeypatch.setattr(IceletTable, "_append_manifest", orig)
+    # pointer moved ahead of the fence: epoch-2 data visible, range unfenced
+    assert len(t.manifest()) == 2
+    assert t.current_snapshot()["epoch"] == 2
+    # restart: epochs 0-1 skip, epoch 2 RE-APPLIES (idempotent), rest apply
+    r = run_replay(spark, t, log, batch_size=600)
+    assert r.epochs_skipped == 2
+    assert r.epochs_applied >= 1
+    assert df_rows(canonical(t.read_logical(spark))) == want
+    # the re-applied snapshot chains off the crashed one → vacuum keeps both
+    t.vacuum()
+    assert df_rows(canonical(t.read_logical(spark))) == want
+
+
 def test_bootstrap_then_incremental(spark, tmp_path):
     target = gen_transcripts(spark, n_conv=12, max_turns=15, seed=21)
     log = gen_changelog(spark, n_conv=12, n_events=900, seed=22, max_turns=15)
