@@ -224,7 +224,9 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via word-3-shingle Jaccard (inverted-index join)."""
+    """Near-dup pairs via word-3-shingle Jaccard (inverted-index join);
+    the stop-shingle blowup guard is on by default (max_doc_freq='auto',
+    mirrored in the oracle)."""
     from filipo_spark.operators.dedup_text import ngram_jaccard_pairs
     from filipo_spark.sources import read_table
 
@@ -246,8 +248,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH banding → candidate pairs → exact-Jaccard verify.
-    (Band-bucket logic: non-SQL → rows-only driver check.)"""
+    """MinHash LSH banding → candidate pairs → candidates-only
+    exact-Jaccard verify (md5 band signatures are engine-portable, so
+    the whole pipeline is DuckDB-oracled)."""
     from filipo_spark.operators.dedup_text import minhash_lsh_pairs
     from filipo_spark.sources import read_table
 
@@ -259,14 +262,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (pigeonhole chunks + Hamming filter).
-    xxhash64 bit votes: non-SQL → rows-only driver check."""
+    """SimHash near-dups: ALL pairs with Hamming ≤ 8 (pigeonhole chunk
+    count derived from max_hamming → recall-complete, semantically exact
+    output).  The md5 hash backend makes it DuckDB-oracled."""
     from filipo_spark.operators.dedup_text import simhash_near_pairs
     from filipo_spark.sources import read_table
 
     _utc(spark)
     return simhash_near_pairs(
-        read_table(spark, sf_dir, "documents"), max_hamming=8
+        read_table(spark, sf_dir, "documents"), max_hamming=8, hash_fn="md5"
     ).orderBy("doc_a", "doc_b")
 
 
@@ -306,7 +310,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (scale path; recall asserted in
-    tests) — rows-only driver check."""
+    tests).  Deterministic centroid seed + rounded assignment scores
+    make the whole plan DuckDB-oracled."""
     from filipo_spark.operators.similarity_join import ann_ivf_topk
     from filipo_spark.sources import read_table
 
@@ -465,6 +470,121 @@ WITH sh AS (
 )
 """
 
+# stop-shingle guard mirrored from ngram_jaccard_pairs(max_doc_freq="auto"):
+# shingles in more than max(100, 1% of docs) documents are dropped before
+# the self-join AND from the per-doc sizes
+_SHINGLE_CAP_SQL = r"""
+, cap AS (SELECT greatest(100, CAST(floor(0.01 * count(*)) AS BIGINT)) AS v FROM documents),
+shf AS (
+  SELECT sh.* FROM sh
+  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= (SELECT v FROM cap))
+)
+"""
+
+
+def _simhash_sql(max_hamming: int) -> str:
+    """DuckDB replica of simhash(hash_fn='md5') + simhash_near_pairs:
+    60 bits from 15 hex chars of md5(token), per-bit sign votes, then
+    ALL pairs with bit_count(xor) <= max_hamming (the chunked candidate
+    generation is recall-complete, so a direct pair filter is the same
+    relation)."""
+    digits = ",\n         ".join(
+        f"strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 AS d{j}"
+        for j in range(15)
+    )
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(
+        f"(CAST(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END AS BIGINT) << {i})" for i in range(60)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(list_distinct(regexp_split_to_array(
+    trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '\s+'))) AS t
+  FROM documents),
+h AS (SELECT doc, md5(t) AS h FROM toks),
+d AS (SELECT doc,
+         {digits}
+      FROM h),
+v AS (SELECT doc,
+         {votes}
+      FROM d GROUP BY doc),
+s AS (SELECT doc, {sig} AS sig FROM v)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM s a JOIN s b ON a.doc < b.doc
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+_LSH_SQL = _SHINGLE_SQL + r"""
+, sig AS (
+  SELECT doc, min(md5('0|' || s)) mh0, min(md5('1|' || s)) mh1,
+         min(md5('2|' || s)) mh2, min(md5('3|' || s)) mh3,
+         min(md5('4|' || s)) mh4, min(md5('5|' || s)) mh5,
+         min(md5('6|' || s)) mh6, min(md5('7|' || s)) mh7
+  FROM sh GROUP BY doc),
+banded AS (
+  SELECT doc, 0 AS band, md5(mh0 || '|' || mh1) AS bsig FROM sig
+  UNION ALL SELECT doc, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc, 3, md5(mh6 || '|' || mh7) FROM sig),
+cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.doc < y.doc),
+sizes AS (SELECT doc, count(*) n FROM sh GROUP BY doc),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) i
+  FROM cand c
+  JOIN sh a ON a.doc = c.doc_a
+  JOIN sh b ON b.doc = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc = i.doc_a JOIN sizes sb ON sb.doc = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.35
+ORDER BY doc_a, doc_b
+"""
+
+_ANN_IVF_SQL = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id,
+         embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+c_assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS DOUBLE), 6) DESC,
+             c.centroid_id) rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn <= 1),
+q_assign AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS DOUBLE), 6) DESC,
+             c.centroid_id) rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5)
+  WHERE rn <= 4),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         round(CAST(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS DOUBLE), 4) score
+  FROM q_assign JOIN c_assign USING (centroid_id)
+  WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
 _PROFILE_ORDERS = """
 WITH longf AS (
   SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS value FROM orders
@@ -475,14 +595,17 @@ WITH longf AS (
   UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
 ),
 prof AS (
+  -- NULL values stay NULL inside AVG (skipped), matching Spark's
+  -- avg(value RLIKE ...) which propagates NULL — ratios are over
+  -- non-null values in both engines
   SELECT column_name,
          COUNT(*) AS n,
          COUNT(value) AS n_nonnull,
          COUNT(DISTINCT value) AS n_distinct,
-         AVG(CASE WHEN regexp_matches(value, '^-?\\d+$') THEN 1.0 ELSE 0.0 END) AS int_ratio,
-         AVG(CASE WHEN regexp_matches(value, '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$') THEN 1.0 ELSE 0.0 END) AS double_ratio,
-         AVG(CASE WHEN regexp_matches(value, '^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?$') THEN 1.0 ELSE 0.0 END) AS ts_ratio,
-         AVG(CASE WHEN regexp_matches(value, '^https?://') THEN 1.0 ELSE 0.0 END) AS url_ratio
+         AVG(CASE WHEN value IS NULL THEN NULL WHEN regexp_matches(value, '^-?\\d+$') THEN 1.0 ELSE 0.0 END) AS int_ratio,
+         AVG(CASE WHEN value IS NULL THEN NULL WHEN regexp_matches(value, '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$') THEN 1.0 ELSE 0.0 END) AS double_ratio,
+         AVG(CASE WHEN value IS NULL THEN NULL WHEN regexp_matches(value, '^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?$') THEN 1.0 ELSE 0.0 END) AS ts_ratio,
+         AVG(CASE WHEN value IS NULL THEN NULL WHEN regexp_matches(value, '^https?://') THEN 1.0 ELSE 0.0 END) AS url_ratio
   FROM longf GROUP BY column_name
 )
 SELECT column_name, n, n_nonnull, n_distinct,
@@ -561,17 +684,20 @@ ORDER BY confidence DESC, event_type LIMIT 3""",
 SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
        min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY 1 ORDER BY fp""",
-        "ngram_jaccard_pairs": _SHINGLE_SQL + r"""
-, sizes AS (SELECT doc, count(*) n FROM sh GROUP BY doc),
+        "ngram_jaccard_pairs": _SHINGLE_SQL + _SHINGLE_CAP_SQL + r"""
+, sizes AS (SELECT doc, count(*) n FROM shf GROUP BY doc),
 inter AS (
   SELECT a.doc da, b.doc db, count(*) i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc < b.doc
   GROUP BY 1, 2)
 SELECT da AS doc_a, db AS doc_b,
        round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc = da JOIN sizes sb ON sb.doc = db
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
 ORDER BY doc_a, doc_b""",
+        "minhash_lsh_pairs": _LSH_SQL,
+        "simhash_near_pairs": _simhash_sql(max_hamming=8),
+        "ann_ivf_topk": _ANN_IVF_SQL,
         "minhash_signatures": _SHINGLE_SQL + r"""
 SELECT doc, min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
        min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3
@@ -659,10 +785,9 @@ SELECT field, value,
 FROM per_pair, stats s
 WHERE (CAST(n_match AS DOUBLE) / n_all) > CAST(s.n_valid AS DOUBLE) / s.n_total
 ORDER BY confidence DESC, field, value""",
-        # minhash_lsh_pairs / simhash_near_pairs / ann_ivf_topk /
         # media_features / schema_evolution_mapping: intentionally no
-        # oracle (banding, xxhash64 bit votes, IVF assignment, mapInPandas
-        # and iterative alignment rules are not ANSI-SQL-expressible) —
-        # driver records rows-only checks; pytest covers them vs
-        # recall/golden asserts (tests/test_text_ops.py, test_mapper.py).
+        # oracle (mapInPandas transport and iterative alignment decision
+        # rules are not ANSI-SQL-expressible) — driver records rows-only
+        # checks; pytest covers them vs golden asserts
+        # (tests/test_multimodal.py, tests/test_mapper.py).
     }

@@ -7,25 +7,37 @@ Scale shapes:
 * **n-gram Jaccard**: inverted-index join (explode shingles → self-join
   on shingle → per-pair intersection counts).  The stop-shingle cap
   (``max_doc_freq``) removes boilerplate shingles before the join — the
-  quadratic blowup guard; at 100 TB also band by shingle prefix.
+  quadratic blowup guard — and is ON by default (``"auto"`` = a
+  corpus-fraction cap): one boilerplate shingle shared by f docs costs
+  O(f²) join rows, so an uncapped join is a scale landmine.
 * **MinHash**: k independent min-hashes computed in ONE aggregation pass
   (k agg expressions over the exploded shingles, no k-fold explode);
   hash = md5(seed‖shingle), engine-portable so the DuckDB oracle can
   reproduce signatures bit-for-bit.
-* **LSH**: band signatures → bucket self-join → candidate pairs; only
-  candidates get exact-Jaccard verification.  Pairwise work collapses
-  from O(n²) to O(Σ bucket²).
-* **SimHash**: 64 sign-vote aggregations over token hashes (one pass),
-  near-dup candidates by equal 16-bit chunk (Hamming ≤ 3 → at least one
-  of 4 chunks equal, pigeonhole).
+* **LSH**: band signatures → bucket self-join → candidate pairs; exact
+  Jaccard is computed on the CANDIDATES ONLY (join candidates back to
+  their shingle sets) — pairwise work collapses from O(n²) to
+  O(Σ bucket²) + O(|candidates| · shingles/doc).
+* **SimHash**: per-bit sign-vote aggregations over token hashes (one
+  pass).  Near-dup candidate generation chunks the signature into
+  ``max_hamming + 1`` pieces: a pair within Hamming distance h differs
+  in at most h chunks, so at least one chunk is equal (pigeonhole) —
+  candidate recall is complete and the output is semantically exact
+  (ALL pairs with hamming ≤ max_hamming), which is what makes the
+  operator oracle-checkable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from filipo_spark.functions.text import fingerprint_md5, norm_text, shingles, tokens_ws
+
+# number of signature bits per hash backend: xxhash64 is the fast JVM
+# path; md5 uses 15 hex chars → 60 bits, reproducible in DuckDB via
+# strpos('0123456789abcdef', chr) - 1 (engine-portable, oracle-checkable)
+SIMHASH_BITS = {"xx64": 64, "md5": 60}
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,15 +55,31 @@ def _shingle_long(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
     )
 
 
+def _auto_doc_freq_cap(df: DataFrame) -> int:
+    """Default stop-shingle cap: 1% of the corpus, floored at 100 docs.
+    Boilerplate shared by more docs than this is dropped before the
+    inverted-index self-join (its contribution to Jaccard is near-zero
+    anyway; its contribution to join size is quadratic)."""
+    return max(100, int(0.01 * df.count()))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.6,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = "auto",
 ) -> DataFrame:
-    """Near-dup pairs (a < b) with word-k-shingle Jaccard ≥ threshold."""
+    """Near-dup pairs (a < b) with word-k-shingle Jaccard ≥ threshold.
+
+    ``max_doc_freq``: stop-shingle guard — shingles present in more than
+    this many docs are excluded from BOTH the join and the per-doc sizes
+    (Jaccard over retained shingles).  ``"auto"`` (default) caps at
+    max(100, 1% of docs); pass ``None`` to disable (unsafe at scale).
+    """
+    if max_doc_freq == "auto":
+        max_doc_freq = _auto_doc_freq_cap(df)
     sh = _shingle_long(df, text_col, id_col, k)
     if max_doc_freq:
         rare = (
@@ -67,6 +95,10 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -108,7 +140,8 @@ def minhash_lsh_pairs(
     verify_threshold: float | None = 0.6,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-signature in ≥1 band; optionally
-    verified with exact shingle Jaccard (two-stage, the scale path)."""
+    verified with exact shingle Jaccard computed on the candidates ONLY
+    (the whole point of LSH — never an all-pairs join over the corpus)."""
     assert k_hashes % bands == 0
     rows = k_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k_hashes, shingle_k)
@@ -137,43 +170,95 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, verify_threshold)
-    return cand.join(exact, on=["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    # candidates-only verification: join each candidate pair to its two
+    # shingle sets, count shared shingles per pair.  Work is
+    # O(|candidates| × shingles/doc), independent of corpus size.
+    sh = _shingle_long(df, text_col, id_col, shingle_k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, on="doc_a")
+        .join(sb, on=["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, verify_threshold)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (xxhash64 bit votes)."""
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn: str = "xx64"
+) -> DataFrame:
+    """SimHash over whitespace tokens: per-bit sign votes in one pass.
+
+    ``hash_fn="xx64"``: 64-bit xxhash64 token hashes (fast JVM path).
+    ``hash_fn="md5"``: 60 bits from 15 hex chars of md5(token) —
+    engine-portable, bit-identical in DuckDB (the oracle path).
+    """
+    n_bits = SIMHASH_BITS[hash_fn]
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens_ws(norm_text(F.col(text_col))))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    )
+    if hash_fn == "xx64":
+        toks = toks.withColumn("h", F.xxhash64("t"))
+
+        def bit(i: int) -> Column:
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+    else:
+        toks = toks.withColumn("h", F.md5("t"))
+        for j in range(n_bits // 4):
+            # hex digit j (0-based from the left), portable: DuckDB is
+            # strpos('0123456789abcdef', substr(h, j+1, 1)) - 1
+            toks = toks.withColumn(
+                f"_d{j}", F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int")
+            )
+
+        def bit(i: int) -> Column:
+            return F.shiftright(F.col(f"_d{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}") for i in range(n_bits)
     ]
     agg = toks.groupBy("doc").agg(*votes)
     sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, i)
+    for i in range(n_bits):
+        b = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(b, i)
         sig = term if sig is None else sig.bitwiseOR(term)
     return agg.select("doc", sig.alias("simhash"))
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_fn: str = "xx64",
 ) -> DataFrame:
-    """Near-dup candidates: pigeonhole on 4×16-bit chunks (Hamming ≤ 3 ⇒
-    ≥1 chunk equal), then exact Hamming filter via bit_count(xor)."""
-    sig = simhash(df, text_col, id_col)
+    """ALL pairs within Hamming distance ``max_hamming`` of each other.
+
+    Candidate generation chunks the signature into ``max_hamming + 1``
+    pieces (pigeonhole: ≤ h differing bits cannot touch all h+1 chunks,
+    so near pairs share ≥ 1 chunk) — recall-complete for any
+    ``max_hamming``, then exact via ``bit_count(xor)``.  Chunking is a
+    pure optimization with no semantic effect on the output.
+    """
+    n_bits = SIMHASH_BITS[hash_fn]
+    assert 0 <= max_hamming < n_bits
+    sig = simhash(df, text_col, id_col, hash_fn)
+    n_chunks = max_hamming + 1
+    bounds = [
+        (c * n_bits // n_chunks, (c + 1) * n_bits // n_chunks) for c in range(n_chunks)
+    ]
     chunks = [
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            F.shiftright(F.col("simhash"), lo)
+            .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+            .alias("cv"),
         )
-        for c in range(4)
+        for c, (lo, hi) in enumerate(bounds)
     ]
     long_ = sig.select(
         "doc", "simhash", F.explode(F.array(*chunks)).alias("ch")

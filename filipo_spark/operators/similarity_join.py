@@ -78,10 +78,13 @@ def ivf_assign(
     c = centroids.select(
         F.col("centroid_id"), F.col(vec_col).alias("cv")
     )
+    # csim rounded to 6 decimals before the arg-max: makes the assignment
+    # stable across engines (Spark vs DuckDB FP noise ~1e-15 could flip an
+    # unrounded near-tie; rounding + centroid_id tie-break is deterministic)
     scored = df.crossJoin(F.broadcast(c)).select(
         id_col, vec_col,
         "centroid_id",
-        cosine(F.col(vec_col), F.col("cv")).alias("csim"),
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
     return (
@@ -96,12 +99,20 @@ def deterministic_centroids(
 ) -> DataFrame:
     """Seed centroids = the n corpus vectors with smallest md5(id) —
     deterministic, no iteration (k-means init without the k-means;
-    adequate for bucketing, replaceable by trained centroids)."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    return (
-        corpus.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_centroids)
-        .select(F.col("rn").alias("centroid_id"), F.col(vec_col))
+    adequate for bucketing, replaceable by trained centroids).
+
+    Selection is a distributed TakeOrdered (``orderBy().limit(n)``), so
+    only the n winning rows ever reach one task; numbering happens on
+    that tiny result.  (The previous global no-partition window pulled
+    the whole corpus through a single task.)"""
+    seed = corpus.select(
+        F.md5(F.col(id_col).cast("string")).alias("_m"),
+        F.col(id_col).alias("_i"),
+        F.col(vec_col),
+    ).orderBy("_m", "_i").limit(n_centroids)
+    w = Window.orderBy("_m", "_i")  # bounded: runs over <= n_centroids rows
+    return seed.withColumn("centroid_id", F.row_number().over(w)).select(
+        "centroid_id", F.col(vec_col)
     )
 
 

@@ -64,6 +64,7 @@ def test_exact_dedup(docs, ddb_docs):
 
 def test_ngram_jaccard_pairs(docs, ddb_docs):
     got = df_rows(ngram_jaccard_pairs(docs, threshold=0.5))
+    # oracle mirrors the default 'auto' stop-shingle cap: max(100, 1% docs)
     want = ddb_docs.sql(
         """
 WITH sh AS (
@@ -73,10 +74,13 @@ WITH sh AS (
   ])) AS s
   FROM (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') toks FROM docs)
 ),
-sizes AS (SELECT doc, count(*) n FROM sh GROUP BY doc),
+cap AS (SELECT greatest(100, CAST(floor(0.01 * count(*)) AS BIGINT)) v FROM docs),
+shf AS (SELECT sh.* FROM sh
+        WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= (SELECT v FROM cap))),
+sizes AS (SELECT doc, count(*) n FROM shf GROUP BY doc),
 inter AS (
   SELECT a.doc da, b.doc db, count(*) i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc < b.doc
   GROUP BY 1, 2)
 SELECT da AS doc_a, db AS doc_b,
        round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
@@ -88,6 +92,27 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
     # near-dups found: every injected pair (d, d+20000) present
     pairs = {(a, b) for a, b, _ in got}
     assert all((d, d + 20000) in pairs for d in range(5, 10))
+
+
+def test_ngram_boilerplate_guard(spark):
+    """Adversarial corpus: 300 docs sharing one boilerplate sentence.
+    Uncapped, the inverted-index self-join explodes quadratically
+    (~300²/2 pairs from the boilerplate shingles alone); the default
+    'auto' cap drops those shingles and the join stays bounded."""
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("terms of service apply to use of this site entry "),
+            F.col("id").cast("string"), F.lit(" unique trailing words here"),
+        ).alias("text"),
+    )
+    capped = ngram_jaccard_pairs(docs, threshold=0.3)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=None)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    # boilerplate-only overlap never reaches the capped output
+    assert n_capped == 0
+    # uncapped would report every boilerplate pair: the quadratic blowup
+    assert n_uncapped == 300 * 299 / 2
 
 
 def test_minhash_signatures_match_duckdb(docs, ddb_docs):
@@ -116,9 +141,10 @@ def test_minhash_lsh_finds_dups(docs):
     # exact dups always collide in every band
     assert all((d, d + 10000) in pairs for d in range(5))
     # LSH candidates are a subset of exact-verified pairs by construction
+    # (verify stage is uncapped — candidates-only exact Jaccard)
     exact = {
         (r["doc_a"], r["doc_b"])
-        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None).collect()
     }
     assert pairs <= exact
 
@@ -130,6 +156,27 @@ def test_simhash_near_pairs(docs):
         (r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(docs, max_hamming=6).collect()
     }
     assert all((d, d + 10000) in pairs for d in range(5))  # exact dups: hamming 0
+
+
+def test_simhash_chunking_is_recall_complete(docs):
+    """Chunk count derives from max_hamming (h+1 chunks, pigeonhole), so
+    the chunked candidate path returns exactly the brute-force relation
+    {pairs: hamming <= h} — for h both below and above the old fixed-4
+    layout's guarantee of 3."""
+    for h, fn in [(3, "xx64"), (8, "md5")]:
+        sig = simhash(docs, hash_fn=fn)
+        a, b = sig.alias("a"), sig.alias("b")
+        brute = (
+            a.join(b, F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            )
+            .where(F.col("hamming") <= h)
+        )
+        got = df_rows(simhash_near_pairs(docs, max_hamming=h, hash_fn=fn))
+        assert got == df_rows(brute), f"hash_fn={fn} h={h}"
 
 
 def test_cosine_topk_vs_duckdb(spark, ddb):
