@@ -24,8 +24,12 @@ events are logged by the replay loop into the commit manifest.
 
 Scale: every step is a join/aggregation on a *bounded deterministic
 sample* (n_probe records ≈ FiLiPo's similarityRequests=100) — alignment
-cost is independent of stream volume; only ``apply_mapping`` touches
-full batches, and it is pure column projection/casting.
+cost is independent of stream volume.  The target side is never melted
+or distinct'd in full either: key discovery and pairing run over
+column-pruned key scans with the bounded probe set broadcast in, and
+only the ≤ n_probe paired rows are fetched + melted for field matching
+(see ``align`` docstring).  Only ``apply_mapping`` touches full
+batches, and it is pure column projection/casting.
 """
 
 from __future__ import annotations
@@ -126,12 +130,19 @@ def melt_target(target: DataFrame, columns: list[str] | None = None) -> DataFram
 
 def _distinct_overlap(src_flat: DataFrame, tgt_long: DataFrame) -> DataFrame:
     """Per (src_field, tgt_column): |distinct src values seen in tgt| /
-    |distinct src values| — the probing response rate (F5 analog)."""
+    |distinct src values| — the probing response rate (F5 analog).
+
+    Scale shape: the bounded probe-value set is broadcast INTO the
+    target scan and the distinct runs on the (bounded) hit set — never a
+    full-table distinct/shuffle.  The target side should already be
+    column-pruned by the caller (key columns only)."""
     s = src_flat.select("src_field", F.col("src_value").alias("v")).distinct()
-    t = tgt_long.select("tgt_column", F.col("tgt_value").alias("v")).distinct()
     totals = s.groupBy("src_field").agg(F.count(F.lit(1)).alias("n_src"))
     hits = (
-        s.join(t, on="v")
+        tgt_long.select("tgt_column", F.col("tgt_value").alias("v"))
+        .join(F.broadcast(s), on="v")
+        .select("src_field", "tgt_column", "v")
+        .distinct()
         .groupBy("src_field", "tgt_column")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
@@ -171,28 +182,53 @@ def align(
     candidate_responses: float = CANDIDATE_RESPONSES,
     min_support: float = MIN_SUPPORT,
     min_confidence: float = MIN_CONFIDENCE,
+    debug: dict | None = None,
 ) -> Mapping:
     """Recover the drifted-payload → target-column mapping.
 
     Thresholds keep FiLiPo's names and defaults (config.json:13-30).
+
+    Scale shape: the target table is NEVER melted or distinct'd in full.
+    It is touched exactly three ways, each bounded or pruned:
+      1. key discovery — a column-pruned scan of the key columns with the
+         bounded probe-value set broadcast into it;
+      2. record pairing — a column-pruned key scan joined to the
+         broadcast probe sample (FiLiPo's one API call per probe value);
+      3. probe-row fetch — a broadcast semi-join on the ≤ n_probe paired
+         keys; only those rows are melted for the J1 field-match stage.
+    Alignment cost is therefore independent of stream volume AND of
+    target row width × count (the round-1 version melted + distinct'd
+    the whole table per call).
+
+    ``debug``: optional dict that receives named internal DataFrames
+    (plan-shape tests assert boundedness on them).
     """
     sample = drifted.where(F.col("op") != "D").orderBy(
         F.md5(F.col("lsn").cast("string"))
     ).limit(n_probe * 5)
     src_flat = flatten_payload(sample).cache()
-    tgt_long = melt_target(target).cache()
+    tgt_long = None
     try:
-        key_fields = discover_key_fields(src_flat, tgt_long)
+        # bounded: distinct fields of the probe sample (needed for the
+        # pivot values list and the combined pass — one small collect)
+        all_src = sorted(
+            r["src_field"] for r in src_flat.select("src_field").distinct().collect()
+        )
+        # (1) key discovery over a key-columns-only melt (pruned scan)
+        key_long = melt_target(target, KEY_COLUMNS)
+        key_fields = discover_key_fields(src_flat, key_long)
+        if debug is not None:
+            debug["key_long"] = key_long
         if len(key_fields) < len(KEY_COLUMNS):
             missing = [k for k in KEY_COLUMNS if k not in key_fields]
             raise ValueError(
                 f"alignment failed: no src field matches target key column(s) {missing}"
             )
 
-        # --- record pairing (probing): src record ↔ target row via key ---
+        # --- (2) record pairing (probing): src record ↔ target row via key ---
         src_wide = (
             src_flat.groupBy("lsn")
-            .pivot("src_field")
+            .pivot("src_field", all_src)
             .agg(F.first("src_value"))
         )
         conv_f, turn_f = key_fields["conv_id"], key_fields["turn_idx"]
@@ -202,16 +238,36 @@ def align(
             F.col("conv_id").cast("string").alias("_ck"),
             F.col("turn_idx").cast("string").alias("_tk"),
         )
+        matches = F.broadcast(src_wide).join(
+            tgt_str,
+            (F.col(f"`{conv_f}`") == F.col("_ck"))
+            & (F.col(f"`{turn_f}`") == F.col("_tk")),
+        )
+        # identifier-uniqueness probe (F8/O3, AlignmentProcessor.java:
+        # 1048-1055 LIMIT 2): only probe values that identify exactly ONE
+        # target row pair — an ambiguous key would pair one probe record
+        # with many rows and pollute the votes
         paired = (
-            src_wide.join(
-                tgt_str,
-                (F.col(f"`{conv_f}`") == F.col("_ck"))
-                & (F.col(f"`{turn_f}`") == F.col("_tk")),
+            matches.groupBy("lsn")
+            .agg(
+                F.count(F.lit(1)).alias("_n_tgt"),
+                F.max("conv_id").alias("conv_id"),
+                F.max("turn_idx").alias("turn_idx"),
             )
-            .select("lsn", "conv_id", "turn_idx")
+            .where(F.col("_n_tgt") == 1)
+            .select("lsn", *KEY_COLUMNS)
             .orderBy(F.md5(F.col("lsn").cast("string")))
             .limit(n_probe)
         )
+
+        # --- (3) probe-row fetch + bounded melt ---
+        tgt_probe_rows = target.join(
+            F.broadcast(paired.select(*KEY_COLUMNS)), on=KEY_COLUMNS
+        )
+        tgt_long = melt_target(tgt_probe_rows).cache()
+        if debug is not None:
+            debug["tgt_probe_rows"] = tgt_probe_rows
+            debug["tgt_long"] = tgt_long
 
         # --- all-pairs field match per record pair (J1) ---
         non_key_tgt = tgt_long.where(~F.col("tgt_column").isin(KEY_COLUMNS))
@@ -240,7 +296,7 @@ def align(
         hits = scored.where(F.col("score") >= string_similarity).cache()
 
         # --- record-similarity gate (F6, :179-184) ---
-        n_src_fields = src_flat.select("src_field").distinct().count() - len(key_fields)
+        n_src_fields = len(all_src) - len(key_fields)
         n_tgt_cols = len(TARGET_SCHEMA.fields) - len(KEY_COLUMNS)
         rec_gate = max(1.0, min(n_src_fields, n_tgt_cols) * record_similarity)
         matching = (
@@ -282,7 +338,7 @@ def align(
         # is reported as the function store's dataAvailability
         # (OutputManager.java:81-82); only the confidence floor applies.
         present = (
-            flatten_payload(sample)
+            src_flat
             .join(matching, on="lsn")
             .select("lsn", "src_field")
             .distinct()
@@ -318,9 +374,6 @@ def align(
             f.name
             for f in TARGET_SCHEMA.fields
             if f.name not in single_tgt and f.name not in key_fields
-        ]
-        all_src = [
-            r["src_field"] for r in src_flat.select("src_field").distinct().collect()
         ]
         mapped_src = {r["src_field"] for r in singles} | set(key_fields.values())
         unmapped_src = [s for s in all_src if s not in mapped_src]
@@ -366,7 +419,8 @@ def align(
         return Mapping(key_fields=key_fields, columns=cols, evolution_events=events)
     finally:
         src_flat.unpersist()
-        tgt_long.unpersist()
+        if tgt_long is not None:
+            tgt_long.unpersist()
 
 
 def _combined_pass(

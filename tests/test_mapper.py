@@ -98,6 +98,51 @@ def test_e2e_drifted_replay_equals_undrifted(spark, base, profile):
     assert df_rows(got) == df_rows(want)
 
 
+def test_uniqueness_probe_drops_ambiguous_keys(spark, base):
+    """F8/O3 (AlignmentProcessor.java:1048-1055 LIMIT-2 probe): probe
+    records whose key value matches MORE than one target row are dropped
+    before pairing.  Fixture: a target polluted with stale duplicate-key
+    rows (same (conv_id, turn_idx), different text).  Without the probe,
+    each ambiguous record pairs with both variants and double-counts
+    votes (confidence for echoed fields inflates past 1.0)."""
+    import pyspark.sql.functions as F
+
+    target, echo, _changes = base
+    stale = target.where("turn_idx % 4 = 0").withColumn(
+        "text", F.concat(F.lit("STALE "), F.col("text"))
+    )
+    dup_target = target.unionByName(stale)
+    mapping = align(gen_drifted(echo, "rename"), dup_target)
+    assert mapping.as_dict() == GROUND_TRUTH["rename"]
+    assert all(r["confidence"] <= 1.0 for r in mapping.columns), mapping.columns
+    assert all(r["support"] <= 1.0 for r in mapping.columns)
+
+
+def test_align_target_access_is_bounded(spark, base, tmp_path):
+    """Scale guard: align() never melts/distincts the full target —
+    (1) key discovery scans ONLY the key columns (parquet ReadSchema
+    pruned through the melt), (2) probe rows are fetched via a broadcast
+    join on the paired keys, (3) the melted target slice is ≤ n_probe
+    rows × column count."""
+    target, echo, _changes = base
+    p = str(tmp_path / "tgt")
+    target.write.parquet(p)
+    tgt = spark.read.parquet(p)
+    dbg: dict = {}
+    mapping = align(gen_drifted(echo, "rename"), tgt, n_probe=50, debug=dbg)
+    assert mapping.as_dict() == GROUND_TRUTH["rename"]
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    key_scan = [ln for ln in plan(dbg["key_long"]).splitlines() if "ReadSchema" in ln]
+    assert key_scan and "text" not in key_scan[0] and "role" not in key_scan[0], key_scan
+    assert "BroadcastHashJoin" in plan(dbg["tgt_probe_rows"])
+    n_cols = len(tgt.columns)
+    assert dbg["tgt_long"].count() <= 50 * n_cols
+    assert dbg["tgt_probe_rows"].count() <= 50
+
+
 def test_apply_mapping_schema(spark, base):
     target, echo, changes = base
     out = apply_mapping(
