@@ -335,6 +335,34 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 raw-JSON ingestion (ResponseConverter.java:16-54): nested JSON
+    strings → dotted [i]-indexed paths, one codegen from_json+schema-walk
+    projection.  The JSON is built from events columns so the oracle can
+    state the ground-truth flattening directly."""
+    from filipo_spark.functions.json_flatten import json_flatten_long
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events").where("event_id < 1000")
+    j = e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("user_id").alias("uid"), F.col("event_type").alias("type")
+                ).alias("actor"),
+                F.array(
+                    F.struct(F.floor("value").cast("long").alias("v")),
+                    F.struct((F.floor("value") + 1).cast("long").alias("v")),
+                ).alias("vals"),
+                F.col("props").alias("props"),
+            )
+        ).alias("payload"),
+    )
+    return json_flatten_long(j, "payload", ["event_id"]).orderBy("event_id", "key")
+
+
 def q_degenerate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 (CDC guise): columns whose modal value covers ≥ 30% of rows —
     degenerate 'error page' detection (AlignmentProcessor.java:251-310)."""
@@ -423,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "json_flatten": q_json_flatten,
         "degenerate_columns": q_degenerate_columns,
         "support_confidence": q_support_confidence,
         "schema_evolution_mapping": q_schema_evolution_mapping,
@@ -698,6 +727,16 @@ ORDER BY doc_a, doc_b""",
         "minhash_lsh_pairs": _LSH_SQL,
         "simhash_near_pairs": _simhash_sql(max_hamming=8),
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "json_flatten": """
+WITH base AS (SELECT * FROM events WHERE event_id < 1000),
+longf AS (
+  SELECT event_id, 'actor.uid' AS key, CAST(user_id AS VARCHAR) AS value FROM base
+  UNION ALL SELECT event_id, 'actor.type', event_type FROM base
+  UNION ALL SELECT event_id, 'vals[0].v', CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) FROM base
+  UNION ALL SELECT event_id, 'vals[1].v', CAST(CAST(floor(value) + 1 AS BIGINT) AS VARCHAR) FROM base
+  UNION ALL SELECT event_id, 'props', props FROM base)
+SELECT event_id, key, value FROM longf WHERE value IS NOT NULL
+ORDER BY event_id, key""",
         "minhash_signatures": _SHINGLE_SQL + r"""
 SELECT doc, min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
        min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3

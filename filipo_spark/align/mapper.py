@@ -96,6 +96,18 @@ class Mapping:
         )
 
 
+def normalize_payload(drifted: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Payload-format dispatch (S2/C9): a raw JSON-string payload is
+    flattened to ``map<string,string>`` dotted paths with ``[i]`` array
+    indices (ResponseConverter.java:16-54) — one codegen projection; a
+    map payload passes through unchanged."""
+    if dict(drifted.dtypes).get(payload_col, "").startswith("map"):
+        return drifted
+    from filipo_spark.functions.json_flatten import json_payload_to_map
+
+    return json_payload_to_map(drifted, payload_col)
+
+
 def flatten_payload(drifted: DataFrame) -> DataFrame:
     """(lsn, op, payload) → long rows (lsn, src_field, src_value) with
     array indices wildcard-collapsed ([i]→[*], C8/A8 analog of
@@ -203,6 +215,7 @@ def align(
     ``debug``: optional dict that receives named internal DataFrames
     (plan-shape tests assert boundedness on them).
     """
+    drifted = normalize_payload(drifted)
     sample = drifted.where(F.col("op") != "D").orderBy(
         F.md5(F.col("lsn").cast("string"))
     ).limit(n_probe * 5)
@@ -496,7 +509,9 @@ def apply_mapping(drifted: DataFrame, mapping: Mapping) -> DataFrame:
     """Drifted (lsn, op, payload) → CHANGE_SCHEMA rows, ALTER-free:
     renames + casts driven by the mapping; combined linkage points
     concatenate their parts; unmapped target columns null.  Pure column
-    projection — runs on full batches at stream volume."""
+    projection — runs on full batches at stream volume (a JSON-string
+    payload adds exactly one codegen'd from_json+flatten projection)."""
+    drifted = normalize_payload(drifted)
     m = mapping.as_dict()
     seps = {
         r["tgt_column"]: r.get("combine_sep", "")

@@ -233,6 +233,26 @@ def gen_drifted(changes: DataFrame, profile: str = "rename") -> DataFrame:
             ("tools[0].name", F.col("tool")),
             ("message.meta.time", iso_ts),
         ]
+    elif profile == "json":
+        # raw nested JSON strings — the wire shape a real drifted WAL
+        # arrives in (ResponseConverter.java:16-54 ingestion analog);
+        # flattens to the same dotted paths as the 'nested' profile.
+        # to_json omits null fields (tool on non-tool turns), mirroring
+        # the map profiles' map_filter(v IS NOT NULL).
+        payload = F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("conv_id").alias("conv"),
+                    F.col("turn_idx").alias("idx"),
+                    F.struct(F.col("role").alias("role"), iso_ts.alias("time")).alias(
+                        "meta"
+                    ),
+                    F.col("text").alias("text"),
+                ).alias("message"),
+                F.array(F.struct(F.col("tool").alias("name"))).alias("tools"),
+            )
+        )
+        return c.select("lsn", "op", payload.alias("payload"))
     elif profile == "split":
         # text delivered split in two (FiLiPo's first+last-name combined
         # linkage case, AlignmentProcessor.java:674-717)

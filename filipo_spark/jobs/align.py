@@ -25,7 +25,12 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--drifted", required=True, help="parquet dir of (lsn, op, payload)")
+    ap.add_argument("--drifted", required=True, help="dir of (lsn, op, payload) records")
+    ap.add_argument(
+        "--format", default="parquet", choices=["parquet", "json"],
+        help="drifted-source format (S2 dispatch): parquet, or JSON-lines "
+             "whose nested payload object is flattened to dotted paths (C9)",
+    )
     ap.add_argument("--target", required=True, help="Icelet table root OR parquet dir")
     ap.add_argument("--out", required=True, help="output mapping.json path")
     ap.add_argument("--n-probe", type=int, default=100)
@@ -45,7 +50,16 @@ def main(argv: list[str] | None = None) -> None:
         target = IceletTable.load(args.target).read_logical(spark)
     else:
         target = spark.read.parquet(args.target)
-    drifted = spark.read.parquet(args.drifted)
+    if args.format == "json":
+        from pyspark.sql import functions as F
+
+        drifted = spark.read.json(args.drifted)
+        if not dict(drifted.dtypes)["payload"].startswith(("map", "string")):
+            # nested payload object → JSON string; align() normalizes it
+            # back through the C9 flatten (one codegen projection)
+            drifted = drifted.withColumn("payload", F.to_json("payload"))
+    else:
+        drifted = spark.read.parquet(args.drifted)
 
     mapping = align(
         drifted,

@@ -46,6 +46,8 @@ GROUND_TRUTH = {
         "ts": "message.meta.time",
     },
 }
+# raw-JSON wire profile flattens to the same dotted paths as 'nested'
+GROUND_TRUTH["json"] = GROUND_TRUTH["nested"]
 
 
 @pytest.fixture(scope="module")
@@ -58,7 +60,7 @@ def base(spark):
     return target, echo, changes
 
 
-@pytest.mark.parametrize("profile", ["rename", "typedrift", "nested"])
+@pytest.mark.parametrize("profile", ["rename", "typedrift", "nested", "json"])
 def test_mapper_recovers_ground_truth(spark, base, profile):
     target, echo, _changes = base
     drifted = gen_drifted(echo, profile)
@@ -79,7 +81,7 @@ def test_mapper_rejects_decoys(spark, base):
     assert mapping.as_dict() == GROUND_TRUTH["rename"]
 
 
-@pytest.mark.parametrize("profile", ["rename", "typedrift", "nested"])
+@pytest.mark.parametrize("profile", ["rename", "typedrift", "nested", "json"])
 def test_e2e_drifted_replay_equals_undrifted(spark, base, profile):
     """BASELINE invariant under drift: the mapping is learned from an
     echo probe sample, then applied to the FULL drifted stream (whose
