@@ -41,8 +41,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from filipo_spark.functions.similarity import (
+    DEFAULT_RULESET,
     EQUALS_METRICS,
     best_metric,
+    compile_ruleset,
 )
 from filipo_spark.operators.profile import DOUBLE_RE, URL_RE
 from filipo_spark.schema import (
@@ -194,6 +196,7 @@ def align(
     candidate_responses: float = CANDIDATE_RESPONSES,
     min_support: float = MIN_SUPPORT,
     min_confidence: float = MIN_CONFIDENCE,
+    ruleset: list[dict] | None = None,
     debug: dict | None = None,
 ) -> Mapping:
     """Recover the drifted-payload → target-column mapping.
@@ -289,21 +292,39 @@ def align(
             .where(~F.col("src_field").isin(list(key_fields.values())))
             .join(non_key_tgt, on=KEY_COLUMNS)
         )
-        # identifier/numeric/url fast path: exact equality only (C4, :820-826)
-        is_fast = F.col("src_value").rlike(DOUBLE_RE) | F.col("src_value").rlike(URL_RE)
-        bm = best_metric(F.col("src_value"), F.col("tgt_value"))
+        # identifier/numeric/url routing (C4/C3/X3, :820-873):
+        # * both sides numeric → parsed-double equality ("12.50" == "12.5")
+        # * src numeric-or-url  → exact equality or a RegExer rule only
+        #   (never fuzzy: "123" vs "124" must not earn a 0.66 vote)
+        # * otherwise           → fuzzy arg-max, with the compiled RegExer
+        #   ruleset as one more exact candidate (config-driven, compiled
+        #   to a single Column expression — RegExer.java:6-15)
+        sv, tv = F.col("src_value"), F.col("tgt_value")
+        rules = DEFAULT_RULESET if ruleset is None else ruleset
+        rule_struct = F.struct(
+            compile_ruleset(rules)(sv, tv).alias("score"),
+            F.lit("RegExer").alias("metric"),
+        )
+        eq_struct = F.struct(
+            (sv == tv).cast("double").alias("score"), F.lit("Equal").alias("metric")
+        )
+        num_struct = F.struct(
+            F.coalesce(
+                (sv.try_cast("double") == tv.try_cast("double")).cast("double"),
+                F.lit(0.0),
+            ).alias("score"),
+            F.lit("NumericEqual").alias("metric"),
+        )
+        both_num = sv.rlike(DOUBLE_RE) & tv.rlike(DOUBLE_RE)
+        src_fast = sv.rlike(DOUBLE_RE) | sv.rlike(URL_RE)
+        bm = best_metric(sv, tv)
         scored = pairs.select(
             "lsn",
             "src_field",
             "tgt_column",
-            F.when(
-                is_fast,
-                F.struct(
-                    (F.col("src_value") == F.col("tgt_value")).cast("double").alias("score"),
-                    F.lit("Equal").alias("metric"),
-                ),
-            )
-            .otherwise(bm)
+            F.when(both_num, num_struct)
+            .when(src_fast, F.greatest(eq_struct, rule_struct))
+            .otherwise(F.greatest(bm, rule_struct))
             .alias("bm"),
         ).select("lsn", "src_field", "tgt_column", "bm.score", "bm.metric")
         hits = scored.where(F.col("score") >= string_similarity).cache()

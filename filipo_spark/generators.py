@@ -266,6 +266,22 @@ def gen_drifted(changes: DataFrame, profile: str = "rename") -> DataFrame:
             ("tool_name", F.col("tool")),
             ("event_time", iso_ts),
         ]
+    elif profile == "punct":
+        # tool ids arrive dash-mangled ("s--e--a--r--c--h"): every fuzzy
+        # metric scores < 0.5 against "search", but the reference's
+        # isbn-issn RegExer rule (strip '-') proves identity — the
+        # fixture that exercises the compiled ruleset (RegExer.java:6-15)
+        dashed = F.when(
+            F.col("tool").isNotNull(), F.concat_ws("--", F.split(F.col("tool"), ""))
+        )
+        entries = [
+            ("conversation_id", F.col("conv_id")),
+            ("turnIndex", F.col("turn_idx").cast("string")),
+            ("role", F.col("role")),
+            ("content", F.col("text")),
+            ("tool_name", dashed),
+            ("event_time", iso_ts),
+        ]
     elif profile == "decoy":
         entries = [
             ("conversation_id", F.col("conv_id")),

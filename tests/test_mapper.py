@@ -100,6 +100,22 @@ def test_e2e_drifted_replay_equals_undrifted(spark, base, profile):
     assert df_rows(got) == df_rows(want)
 
 
+def test_regexer_rule_decides_mapping(spark, base):
+    """C3/X3: the compiled RegExer ruleset (reference config ruleset,
+    RegExer.java:6-15) recovers a mapping every fuzzy metric misses —
+    dash-mangled tool ids score < 0.5 on all metrics but are identical
+    after the isbn-issn strip rule."""
+    target, echo, _changes = base
+    mapping = align(gen_drifted(echo, "punct"), target)
+    assert mapping.as_dict() == GROUND_TRUTH["rename"]
+    tool_row = [r for r in mapping.columns if r["tgt_column"] == "tool"][0]
+    assert tool_row["metric"] == "RegExer"
+    # without the ruleset the tool column must stay unmapped (proves the
+    # rule, not a fuzzy metric, decided it)
+    bare = align(gen_drifted(echo, "punct"), target, ruleset=[])
+    assert "tool" not in bare.as_dict()
+
+
 def test_uniqueness_probe_drops_ambiguous_keys(spark, base):
     """F8/O3 (AlignmentProcessor.java:1048-1055 LIMIT-2 probe): probe
     records whose key value matches MORE than one target row are dropped

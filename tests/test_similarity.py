@@ -21,6 +21,9 @@ PAIRS = [
     (None, "abc"),
     ("CA", "ca"),
     ("conv-001", "conv_001"),
+    ("ca", "abc"),
+    ("ab", "cb"),
+    ("a b c", "a b d"),
 ]
 
 
@@ -77,6 +80,66 @@ def test_pandas_udf_metrics(pairs_df):
     dam = _scores(pairs_df, "Damerau")
     assert dam[("kitten", "sitting")] == round(1 - 3 / 7, 4)
     assert dam[(None, "abc")] == 0.0
+
+
+def test_optimal_alignment_vs_true_damerau(pairs_df):
+    """'ca' → 'abc': OSA distance 3 (no re-edit after transposition) but
+    true DL distance 2 (transpose then insert) — the classic pair that
+    separates Optimal-Alignment from Damerau-Levenshtein."""
+    osa = _scores(pairs_df, "OptimalAlignment")
+    dl = _scores(pairs_df, "Damerau")
+    assert osa[("ca", "abc")] == 0.0  # 1 - 3/3
+    assert dl[("ca", "abc")] == round(1 - 2 / 3, 4)
+    # Raw variants skip case-folding
+    raw = _scores(pairs_df, "OptimalAlignmentRaw")
+    assert raw[("CA", "ca")] == 0.0
+    assert osa[("CA", "ca")] == 1.0
+
+
+def test_padding_and_shingle_variants(pairs_df):
+    pad = _scores(pairs_df, "Jaccard2GramPad")
+    nopad = _scores(pairs_df, "Jaccard2Gram")
+    # padded 'ab' = {#a, ab, b#}, 'cb' = {#c, cb, b#} → 1/5; unpadded → 0
+    assert nopad[("ab", "cb")] == 0.0
+    assert pad[("ab", "cb")] == 0.2
+    sh = _scores(pairs_df, "Jaccard2Shingle")
+    assert sh[("a b c", "a b d")] == round(1 / 3, 4)
+    d4 = _scores(pairs_df, "Dice4Gram")
+    assert d4[("hello world", "hello world")] == 1.0
+
+
+def test_registry_breadth():
+    """Coverage of the reference catalog's families: equality, edit (±
+    normalized), token sets, n-gram 2-5 (± padding) × jaccard/dice/
+    overlap, word shingles 2-3."""
+    names = set(SIM_REGISTRY)
+    for fam in ("Jaccard", "Dice", "Overlap"):
+        for n in (2, 3, 4, 5):
+            assert f"{fam}{n}Gram" in names and f"{fam}{n}GramPad" in names
+        for n in (2, 3):
+            assert f"{fam}{n}Shingle" in names
+    for m in ("LCS", "OptimalAlignment", "Damerau", "Levenshtein"):
+        assert m in names and (m + "Raw") in names
+    assert len(names) >= 40
+
+
+def test_compile_ruleset(spark):
+    from filipo_spark.functions.similarity import DEFAULT_RULESET, compile_ruleset
+
+    df = spark.createDataFrame(
+        [("978-3-16", "9783-16"), ("ABC", "abc"), ("x", "y"), (None, "x")],
+        "a string, b string",
+    )
+    fn = compile_ruleset(DEFAULT_RULESET)
+    s = {(r["a"], r["b"]): r["s"] for r in df.select("a", "b", fn(F.col("a"), F.col("b")).alias("s")).collect()}
+    assert s[("978-3-16", "9783-16")] == 1.0  # isbn-issn: strip dashes
+    assert s[("ABC", "abc")] == 1.0  # /i rule
+    assert s[("x", "y")] == 0.0
+    assert s[(None, "x")] == 0.0
+    force = compile_ruleset([{"name": "force", "filter": "/f"}])
+    s2 = df.select(force(F.col("a"), F.col("b")).alias("s")).collect()
+    assert all(r["s"] == 1.0 for r in s2)
+    assert compile_ruleset([]) is not None  # empty ruleset → constant 0
 
 
 def test_best_metric_argmax(spark):
