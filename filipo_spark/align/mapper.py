@@ -364,6 +364,27 @@ def align(
         )
         # vote threshold (F10/A-gates): votes ≥ matches × candidate_responses
         best = best.where(F.col("votes") >= n_matching * candidate_responses)
+        # path-depth discount (C12, AlignmentProcessor.java:651-661): when
+        # ranking candidate src paths, votes are divided by
+        # 1 + |depth(src) - depth(tgt)| — a value echoed at a mismatched
+        # nesting depth is a weaker signal than the same value at the
+        # expected depth.  Target columns are flat (depth 1); src depth =
+        # dots + 1.  Discounted votes RANK candidates (A9); the raw count
+        # still feeds the vote threshold and confidence.
+        src_depth = F.size(F.split(F.col("src_field"), r"\."))
+        discount = F.lit(1) + F.abs(F.lit(1) - src_depth)
+        best = best.withColumn("weighted_votes", F.col("votes") / discount)
+        # wildcard prefix-share (A10/A11, :786-798): for a [*]-collapsed
+        # src path, confidence-of-the-wildcard = Σ votes of the collapsed
+        # family / Σ votes of ALL src paths voting for that target —
+        # reported per linkage point as wildcard_confidence.
+        vt = votes.groupBy("src_field", "tgt_column").agg(F.sum("votes").alias("_v"))
+        tgt_tot = vt.groupBy("tgt_column").agg(F.sum("_v").alias("_v_all"))
+        wc = vt.join(tgt_tot, on="tgt_column").select(
+            "src_field",
+            "tgt_column",
+            F.round(F.col("_v") / F.col("_v_all"), 4).alias("wildcard_confidence"),
+        )
 
         # --- support (dataAvailability) & confidence (A12-A15) ---
         # NOTE: in the reference, min_support/min_confidence gate the SCP
@@ -381,18 +402,22 @@ def align(
         )
         scoredmap = (
             best.join(present, on="src_field")
+            .join(wc, on=["src_field", "tgt_column"])
             .withColumn("support", F.col("n_present") / F.lit(float(n_matching)))
             .withColumn("confidence", F.col("votes") / F.col("n_present"))
             .where(F.col("confidence") >= min_confidence)
         )
-        singles = [
-            dict(r.asDict(), n_parts=1, exact=r["metric"] in EQUALS_METRICS)
-            for r in scoredmap.select(
-                "tgt_column", "src_field", "metric", "votes",
-                F.round("support", 4).alias("support"),
-                F.round("confidence", 4).alias("confidence"),
-            ).collect()
-        ]
+        singles = []
+        for r in scoredmap.select(
+            "tgt_column", "src_field", "metric", "votes", "weighted_votes",
+            "wildcard_confidence",
+            F.round("support", 4).alias("support"),
+            F.round("confidence", 4).alias("confidence"),
+        ).collect():
+            row = dict(r.asDict(), n_parts=1, exact=r["metric"] in EQUALS_METRICS)
+            if "[*]" not in row["src_field"]:
+                row.pop("wildcard_confidence")  # A11 stat is wildcard-only
+            singles.append(row)
 
         # --- combined linkage points (J5, :674-717): when ≥2 src fields
         # vote for the SAME target column (FiLiPo's temporaryLinkagePoints
@@ -430,18 +455,23 @@ def align(
         # --- final selection per target column: confidence, then exactness
         # (an exact mapping beats a fuzzy one — the identifier-fast-path
         # preference lifted to field selection), then fewer parts (a single
-        # field beats a concatenation at equal strength), then votes ---
+        # field beats a concatenation at equal strength), then
+        # depth-discounted votes (C12 — a shallower path beats a deeper
+        # decoy at equal vote count) ---
         cols = []
         for tgt in sorted({r["tgt_column"] for r in singles + combined}):
             pool = [r for r in singles + combined if r["tgt_column"] == tgt]
             best_row = max(
                 pool,
                 key=lambda r: (
-                    r["confidence"], r["exact"], -r["n_parts"], r["votes"],
+                    r["confidence"], r["exact"], -r["n_parts"],
+                    r.get("weighted_votes", r["votes"]),
                     [-ord(ch) for ch in r["src_field"]],
                 ),
             )
-            cols.append({k: v for k, v in best_row.items() if k not in ("n_parts", "exact")})
+            cols.append(
+                {k: v for k, v in best_row.items() if k not in ("n_parts", "exact", "weighted_votes")}
+            )
 
         events = [
             f"map:{key_fields['conv_id']}->conv_id(key)",

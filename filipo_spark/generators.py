@@ -233,6 +233,38 @@ def gen_drifted(changes: DataFrame, profile: str = "rename") -> DataFrame:
             ("tools[0].name", F.col("tool")),
             ("message.meta.time", iso_ts),
         ]
+    elif profile == "deepdecoy":
+        # nested + a deeper perfect copy of role: equal votes/confidence,
+        # decided only by the path-depth discount (C12) — the shallower
+        # true path must win
+        entries = [
+            ("message.conv", F.col("conv_id")),
+            ("message.idx", F.col("turn_idx").cast("string")),
+            ("message.meta.role", F.col("role")),
+            ("message.meta.debug.role", F.col("role")),
+            ("message.text", F.col("text")),
+            ("tools[0].name", F.col("tool")),
+            ("message.meta.time", iso_ts),
+        ]
+    elif profile == "wildshare":
+        # nested + a partial flat copy of tool (20% of rows): the
+        # tools[*].name family no longer owns all votes for `tool`, so
+        # its wildcard prefix-share confidence (A10/A11) drops strictly
+        # below 1.  (Share kept below the depth discount's break-even —
+        # a flat copy on a majority of rows legitimately outranks a
+        # depth-2 wildcard under C12, as in the reference.)
+        entries = [
+            ("message.conv", F.col("conv_id")),
+            ("message.idx", F.col("turn_idx").cast("string")),
+            ("message.meta.role", F.col("role")),
+            ("message.text", F.col("text")),
+            ("tools[0].name", F.col("tool")),
+            ("message.meta.time", iso_ts),
+            (
+                "tool_alias",
+                F.when(F.pmod(F.xxhash64("lsn"), F.lit(5)) < 1, F.col("tool")),
+            ),
+        ]
     elif profile == "json":
         # raw nested JSON strings — the wire shape a real drifted WAL
         # arrives in (ResponseConverter.java:16-54 ingestion analog);

@@ -100,6 +100,35 @@ def test_e2e_drifted_replay_equals_undrifted(spark, base, profile):
     assert df_rows(got) == df_rows(want)
 
 
+def test_depth_discount_rejects_deeper_decoy(spark, base):
+    """C12 (AlignmentProcessor.java:651-661): a perfect copy of role at a
+    DEEPER path ties on votes, confidence and exactness — only the
+    1/(1+|Δdepth|) discount separates it; the shallower true path must
+    win.  (Without the discount the tie-break picks the lexicographically
+    smaller decoy path.)"""
+    target, echo, _changes = base
+    mapping = align(gen_drifted(echo, "deepdecoy"), target)
+    assert mapping.as_dict() == GROUND_TRUTH["nested"]
+    assert mapping.as_dict()["role"] == "message.meta.role"
+
+
+def test_wildcard_prefix_share_confidence(spark, base):
+    """A10/A11 (:786-798): a wildcard linkage point reports the
+    prefix-share statistic Σ(family votes)/Σ(all votes for the target);
+    a competing flat copy of tool pushes it strictly below 1."""
+    target, echo, _changes = base
+    mapping = align(gen_drifted(echo, "wildshare"), target)
+    assert mapping.as_dict() == GROUND_TRUTH["nested"]
+    tool_row = [r for r in mapping.columns if r["tgt_column"] == "tool"][0]
+    assert 0.0 < tool_row["wildcard_confidence"] < 1.0
+    role_row = [r for r in mapping.columns if r["tgt_column"] == "role"][0]
+    assert "wildcard_confidence" not in role_row  # wildcard-only stat
+    # the clean nested profile keeps the full share
+    clean = align(gen_drifted(echo, "nested"), target)
+    clean_tool = [r for r in clean.columns if r["tgt_column"] == "tool"][0]
+    assert clean_tool["wildcard_confidence"] == 1.0
+
+
 def test_regexer_rule_decides_mapping(spark, base):
     """C3/X3: the compiled RegExer ruleset (reference config ruleset,
     RegExer.java:6-15) recovers a mapping every fuzzy metric misses —
