@@ -197,6 +197,9 @@ def align(
     min_support: float = MIN_SUPPORT,
     min_confidence: float = MIN_CONFIDENCE,
     ruleset: list[dict] | None = None,
+    classifier=None,
+    evaluate_dir: str | None = None,
+    evaluate_k: int = 5,
     debug: dict | None = None,
 ) -> Mapping:
     """Recover the drifted-payload → target-column mapping.
@@ -318,13 +321,26 @@ def align(
         both_num = sv.rlike(DOUBLE_RE) & tv.rlike(DOUBLE_RE)
         src_fast = sv.rlike(DOUBLE_RE) | sv.rlike(URL_RE)
         bm = best_metric(sv, tv)
+        exact_cands = [eq_struct, rule_struct]
+        fuzzy_cands = [bm, rule_struct]
+        if classifier is not None:
+            # X2 seam (GbClassifier.java:12-26): learned equality joins
+            # the exact-candidate set, Arrow-batched over the probe pairs
+            from filipo_spark.functions.classifier import classifier_metric
+
+            clf_struct = F.struct(
+                classifier_metric(classifier)(sv, tv).alias("score"),
+                F.lit("Classifier").alias("metric"),
+            )
+            exact_cands.append(clf_struct)
+            fuzzy_cands.append(clf_struct)
         scored = pairs.select(
             "lsn",
             "src_field",
             "tgt_column",
             F.when(both_num, num_struct)
-            .when(src_fast, F.greatest(eq_struct, rule_struct))
-            .otherwise(F.greatest(bm, rule_struct))
+            .when(src_fast, F.greatest(*exact_cands))
+            .otherwise(F.greatest(*fuzzy_cands))
             .alias("bm"),
         ).select("lsn", "src_field", "tgt_column", "bm.score", "bm.metric")
         hits = scored.where(F.col("score") >= string_similarity).cache()
@@ -344,6 +360,10 @@ def align(
         n_matching = matching.count()
         if n_matching == 0:
             raise ValueError("alignment failed: no record pair passed the similarity gate")
+        if evaluate_dir:
+            _dump_evaluation_pairs(
+                src_flat, tgt_long, paired, matching, evaluate_dir, evaluate_k
+            )
 
         # --- votes (A6) over matching records only ---
         votes = (
@@ -485,6 +505,38 @@ def align(
         src_flat.unpersist()
         if tgt_long is not None:
             tgt_long.unpersist()
+
+
+def _dump_evaluation_pairs(
+    src_flat: DataFrame,
+    tgt_long: DataFrame,
+    paired: DataFrame,
+    matching: DataFrame,
+    out_dir: str,
+    k: int,
+) -> None:
+    """Evaluation mode (S6, AlignmentProcessor.java:207-237): write up to
+    ``k`` matched (probe record, target row) pairs as ONE header'd CSV —
+    ``lsn, conv_id, turn_idx, side (api|kb), field, value`` — the
+    mapper's recall-debugging artifact (the reference dumps per-record
+    api_*/kb_* CSV file pairs; one partitioned file is the Spark shape)."""
+    sel = matching.orderBy("lsn").limit(k).join(paired, on="lsn")
+    api = sel.join(src_flat, on="lsn").select(
+        "lsn", *KEY_COLUMNS, F.lit("api").alias("side"),
+        F.col("src_field").alias("field"), F.col("src_value").alias("value"),
+    )
+    kb = sel.join(tgt_long, on=KEY_COLUMNS).select(
+        "lsn", *KEY_COLUMNS, F.lit("kb").alias("side"),
+        F.col("tgt_column").alias("field"), F.col("tgt_value").alias("value"),
+    )
+    (
+        api.unionByName(kb)
+        .orderBy("lsn", "side", "field")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out_dir)
+    )
 
 
 def _combined_pass(

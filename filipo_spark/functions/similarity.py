@@ -264,7 +264,9 @@ for _n in (2, 3):
 
 # metrics whose 1.0 means byte-ish identity; the vote tie rule prefers
 # fuzzy metrics over these (AlignmentProcessor.java:566-571,649-650)
-EQUALS_METRICS = {"Equal", "EqualNormalized", "TokenEqual", "NumericEqual", "RegExer"}
+EQUALS_METRICS = {
+    "Equal", "EqualNormalized", "TokenEqual", "NumericEqual", "RegExer", "Classifier",
+}
 
 # subset used for the wide probe join (the reference's configured-subset
 # pattern, config.json:32-59); mostly native exprs + the Damerau Arrow

@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--record-similarity", type=float, default=RECORD_SIMILARITY)
     ap.add_argument("--candidate-responses", type=float, default=CANDIDATE_RESPONSES)
     ap.add_argument("--min-confidence", type=float, default=MIN_CONFIDENCE)
+    ap.add_argument(
+        "--evaluate", type=int, default=0, metavar="K",
+        help="evaluation mode (reference mode=2): dump up to K matched "
+             "(probe record, target row) pairs as CSV next to --out",
+    )
     ap.add_argument("--cpus", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -69,6 +74,8 @@ def main(argv: list[str] | None = None) -> None:
         record_similarity=args.record_similarity,
         candidate_responses=args.candidate_responses,
         min_confidence=args.min_confidence,
+        evaluate_dir=(args.out + ".eval") if args.evaluate else None,
+        evaluate_k=args.evaluate or 5,
     )
     with open(args.out, "w") as f:
         f.write(mapping.to_json())

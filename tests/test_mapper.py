@@ -145,6 +145,50 @@ def test_regexer_rule_decides_mapping(spark, base):
     assert "tool" not in bare.as_dict()
 
 
+def test_classifier_seam_decides_mapping(spark, base):
+    """X2 (GbClassifier.java:12-26 seam): a registered predict_batch
+    classifier joins the exact candidates; with the ruleset disabled it
+    alone recovers the dash-mangled tool mapping (metric 'Classifier')."""
+    import pandas as pd
+
+    from filipo_spark.functions.classifier import register_classifier
+
+    def strip_dashes(a: pd.Series, b: pd.Series) -> pd.Series:
+        return a.str.replace("-", "", regex=False) == b.str.replace(
+            "-", "", regex=False
+        )
+
+    register_classifier("dash-eq", strip_dashes)
+    target, echo, _changes = base
+    mapping = align(gen_drifted(echo, "punct"), target, ruleset=[], classifier="dash-eq")
+    assert mapping.as_dict() == GROUND_TRUTH["rename"]
+    tool_row = [r for r in mapping.columns if r["tgt_column"] == "tool"][0]
+    assert tool_row["metric"] == "Classifier"
+
+
+def test_evaluation_mode_dump(spark, base, tmp_path):
+    """S6 (AlignmentProcessor.java:207-237 evaluation mode): up to k
+    matched (probe record, target row) pairs land as a header'd CSV."""
+    import csv
+    import glob
+
+    target, echo, _changes = base
+    out = str(tmp_path / "eval")
+    align(gen_drifted(echo, "rename"), target, evaluate_dir=out, evaluate_k=3)
+    files = glob.glob(out + "/*.csv")
+    assert files
+    with open(files[0]) as f:
+        rows = list(csv.DictReader(f))
+    assert set(rows[0]) == {"lsn", "conv_id", "turn_idx", "side", "field", "value"}
+    assert {r["side"] for r in rows} == {"api", "kb"}
+    assert len({r["lsn"] for r in rows}) <= 3
+    # each dumped record pair carries both sides
+    by_lsn = {}
+    for r in rows:
+        by_lsn.setdefault(r["lsn"], set()).add(r["side"])
+    assert all(sides == {"api", "kb"} for sides in by_lsn.values())
+
+
 def test_uniqueness_probe_drops_ambiguous_keys(spark, base):
     """F8/O3 (AlignmentProcessor.java:1048-1055 LIMIT-2 probe): probe
     records whose key value matches MORE than one target row are dropped
