@@ -165,8 +165,12 @@ def _merge_best_scaling(result: dict, sidecar: str = "scaling.json") -> dict:
     """Keep the best honest measurement across bench runs: host steal is
     strictly additive slowdown, so the run pair with the highest
     per-level throughputs is the closest estimate of uncontended
-    hardware.  Persisted to BENCH/scaling.json; a noisy round never
-    erases a quiet-window measurement."""
+    hardware.  Medians over ALL accumulated runs are reported alongside
+    (the steal-inclusive central tendency — both statistics disclosed).
+    Persisted to BENCH/scaling.json; a noisy round never erases a
+    quiet-window measurement."""
+    import statistics
+
     path = os.path.join(REPO, "BENCH", sidecar)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     best = result
@@ -185,6 +189,13 @@ def _merge_best_scaling(result: dict, sidecar: str = "scaling.json") -> dict:
                 (hi / lo) / (merged["4n_cpus"] / merged["n_cpus"]), 3
             )
             best = merged
+    med_n = statistics.median(best["runs_n"])
+    med_4n = statistics.median(best["runs_4n"])
+    best["median_n"] = round(med_n)
+    best["median_4n"] = round(med_4n)
+    best["efficiency_median"] = round(
+        (med_4n / med_n) / (best["4n_cpus"] / best["n_cpus"]), 3
+    )
     with open(path, "w") as f:
         json.dump(best, f, sort_keys=True)
     return best
@@ -196,6 +207,9 @@ def _deep_section() -> str:
         return ""
     with open(path) as f:
         d = json.load(f)
+    med = (
+        f" (median {d['efficiency_median']})" if "efficiency_median" in d else ""
+    )
     return (
         "## Deep scaling (large single batch — the design-point shape)\n\n"
         f"Same methodology at {d['events']:,} events per single-epoch batch "
@@ -204,7 +218,7 @@ def _deep_section() -> str:
         "| parallelism (pinned) | events/sec (best) |\n|---|---|\n"
         f"| {d['n_cpus']} CPU (N) | {d['events_per_sec_n']:,} |\n"
         f"| {d['4n_cpus']} CPUs (4N) | {d['events_per_sec_4n']:,} |\n\n"
-        f"**Deep scaling efficiency (N→4N)** = **{d['efficiency']}**. "
+        f"**Deep scaling efficiency (N→4N)** = **{d['efficiency']}**{med}. "
         f"Runs: N={d['runs_n']}, 4N={d['runs_4n']} ev/s.\n\n"
     )
 
@@ -229,11 +243,14 @@ def write_baseline_md(scaling: dict, headline: dict, sf: float) -> None:
             "estimates uncontended hardware. Levels above ~8 vCPUs measure "
             "host oversubscription, not the engine (verified: a pure-JVM md5 "
             "probe stops scaling at 16 of the advertised 32 vCPUs).\n\n"
-            "| parallelism (pinned) | events/sec (best of 3) |\n|---|---|\n"
-            f"| {scaling['n_cpus']} CPU (N) | {scaling['events_per_sec_n']:,} |\n"
-            f"| {scaling['4n_cpus']} CPUs (4N) | {scaling['events_per_sec_4n']:,} |\n\n"
+            "| parallelism (pinned) | events/sec (best) | events/sec (median) |\n|---|---|---|\n"
+            f"| {scaling['n_cpus']} CPU (N) | {scaling['events_per_sec_n']:,} | {scaling['median_n']:,} |\n"
+            f"| {scaling['4n_cpus']} CPUs (4N) | {scaling['events_per_sec_4n']:,} | {scaling['median_4n']:,} |\n\n"
             f"**Scaling efficiency (N→4N)** = (thr_4N / thr_N) / 4 = "
-            f"**{scaling['efficiency']}** (target ≥ 0.8, BASELINE.json).\n\n"
+            f"**{scaling['efficiency']}** best-of / "
+            f"**{scaling['efficiency_median']}** median "
+            f"(target ≥ 0.8, BASELINE.json; best-of is the uncontended-"
+            f"hardware estimate, median includes host steal).\n\n"
             f"All runs: N={scaling['runs_n']}, 4N={scaling['runs_4n']} ev/s.\n\n"
             + _deep_section() +
             "## Headline throughput\n\n"
@@ -286,6 +303,11 @@ def main() -> None:
         t0 = time.perf_counter()
         qmap[name](spark, SF_DIR).count()
         queries[name] = round(time.perf_counter() - t0, 3)
+    # alignment path (the namesake feature — measured so target-side
+    # regressions show up as wall-clock, not just plan shape)
+    t0 = time.perf_counter()
+    qmap["schema_evolution_mapping"](spark, SF_DIR).count()
+    queries["align_sec"] = round(time.perf_counter() - t0, 3)
 
     scaling = None
     if not args.no_scaling:

@@ -105,6 +105,24 @@ def fingerprint_md5(c: Column) -> Column:
     return F.md5(norm_text(c))
 
 
+def common_prefix_len(a: Column, b: Column) -> Column:
+    """Length of the longest common prefix of two strings — native
+    expression (C5, reference Utils/Utils.java:30-38): first differing
+    position via a filtered index sequence, no UDF."""
+    n = F.least(F.length(a), F.length(b))
+    diffs = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)),
+    )
+    return (
+        # explicit null guard: least() skips NULL operands
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("int"))
+        .when(n == 0, F.lit(0))
+        .when(F.size(diffs) > 0, F.element_at(diffs, 1) - 1)
+        .otherwise(n)
+    )
+
+
 def shingles(c: Column, k: int = 3) -> Column:
     """Distinct word k-shingles (arrays of k consecutive tokens joined by
     a space) — the unit for n-gram Jaccard and MinHash."""

@@ -167,12 +167,15 @@ def gen_echo_changelog(target: DataFrame, start_lsn: int = 10_000_000) -> DataFr
     so responses describe the same entities (AlignmentProcessor.java:
     967-1044); here a sampled slice of the stream echoes rows the target
     already holds (e.g. freshly-applied inserts re-observed as updates).
-    """
-    from pyspark.sql import Window
 
-    w = Window.orderBy("conv_id", "turn_idx")
+    LSNs are key-derived hashes (no global row_number window — that
+    single-tasked the whole target through one sort at scale); a 2^40
+    range makes fixture-level collisions negligible.
+    """
     return target.select(
-        (F.row_number().over(w) + start_lsn).cast("long").alias("lsn"),
+        (
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(1 << 40)) + start_lsn
+        ).cast("long").alias("lsn"),
         F.lit("U").alias("op"),
         "conv_id",
         "turn_idx",

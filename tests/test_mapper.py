@@ -220,7 +220,7 @@ def test_align_target_access_is_bounded(spark, base, tmp_path):
     target.write.parquet(p)
     tgt = spark.read.parquet(p)
     dbg: dict = {}
-    mapping = align(gen_drifted(echo, "rename"), tgt, n_probe=50, debug=dbg)
+    mapping = align(gen_drifted(echo, "rename"), tgt, n_probe=100, debug=dbg)
     assert mapping.as_dict() == GROUND_TRUTH["rename"]
 
     def plan(df):
@@ -230,8 +230,8 @@ def test_align_target_access_is_bounded(spark, base, tmp_path):
     assert key_scan and "text" not in key_scan[0] and "role" not in key_scan[0], key_scan
     assert "BroadcastHashJoin" in plan(dbg["tgt_probe_rows"])
     n_cols = len(tgt.columns)
-    assert dbg["tgt_long"].count() <= 50 * n_cols
-    assert dbg["tgt_probe_rows"].count() <= 50
+    assert dbg["tgt_long"].count() <= 100 * n_cols
+    assert dbg["tgt_probe_rows"].count() <= 100
 
 
 def test_apply_mapping_schema(spark, base):

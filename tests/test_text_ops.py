@@ -210,6 +210,29 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_common_prefix_len(spark):
+    from filipo_spark.functions.text import common_prefix_len
+
+    df = spark.createDataFrame(
+        [("abc.def", "abc.xyz"), ("same", "same"), ("", "abc"),
+         ("a", "b"), (None, "x")],
+        "a string, b string",
+    )
+    got = {
+        (r["a"], r["b"]): r["n"]
+        for r in df.select(
+            "a", "b", common_prefix_len(F.col("a"), F.col("b")).alias("n")
+        ).collect()
+    }
+    assert got == {
+        ("abc.def", "abc.xyz"): 4,
+        ("same", "same"): 4,
+        ("", "abc"): 0,
+        ("a", "b"): 0,
+        (None, "x"): None,
+    }
+
+
 def test_text_functions_vs_duckdb(docs, ddb_docs):
     got = df_rows(
         docs.select(
