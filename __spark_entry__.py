@@ -89,6 +89,40 @@ def q_schema_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_profile(read_table(spark, sf_dir, "orders")).orderBy("column_name")
 
 
+def q_type_triples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 schema aggregation: instance values aggregated to type-level
+    triples (subject_type, predicate, object_type, n) —
+    TripleAnalyzer.java:32-45 feeding SchemaExtractor.java:96-133."""
+    from filipo_spark.operators.profile import type_triples
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return type_triples(read_table(spark, sf_dir, "orders"), "orders").orderBy(
+        "predicate", "object_type"
+    )
+
+
+def q_sql_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 catalog dispatch: tables registered as views, query issued
+    through the SQL surface (spark.sql) — Catalyst plans it identically
+    to the DataFrame API (QueryProcessor.java:16-36 analog)."""
+    from filipo_spark.sources import register_tables
+
+    _utc(spark)
+    register_tables(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY revenue DESC, p_brand
+        LIMIT 10
+        """
+    )
+
+
 def q_identifier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 identifier detection: functionality >= 0.996 (config.json:25)."""
     from filipo_spark.operators.profile import identifiers, schema_profile
@@ -435,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_batched_replay": q_cdc_batched_replay,
         "lww_dedup_winners": q_lww_dedup_winners,
         "schema_profile_orders": q_schema_profile_orders,
+        "type_triples_orders": q_type_triples_orders,
+        "sql_brand_revenue": q_sql_brand_revenue,
         "identifier_detection": q_identifier_detection,
         "pricing_summary": q_pricing_summary,
         "argmax_vote": q_argmax_vote,
@@ -665,6 +701,32 @@ ranked AS (
 SELECT conv_id, turn_idx, lsn, op FROM ranked WHERE rn = 1
 ORDER BY conv_id, turn_idx""",
         "schema_profile_orders": _PROFILE_ORDERS,
+        "type_triples_orders": """
+WITH longf AS (
+  SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS value FROM orders
+  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+)
+SELECT 'orders' AS subject_type, column_name AS predicate,
+       CASE WHEN value IS NULL THEN 'null'
+            WHEN regexp_matches(value, '^-?\\d+$') THEN 'int'
+            WHEN regexp_matches(value, '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$') THEN 'double'
+            WHEN regexp_matches(value, '^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?$') THEN 'timestamp'
+            WHEN regexp_matches(value, '^https?://') THEN 'url'
+            ELSE 'text' END AS object_type,
+       COUNT(*) AS n
+FROM longf GROUP BY 1, 2, 3 ORDER BY predicate, object_type""",
+        "sql_brand_revenue": """
+SELECT p_brand,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+LIMIT 10""",
         "identifier_detection": f"""
 WITH prof AS ({_PROFILE_ORDERS.replace('ORDER BY column_name', '')})
 SELECT column_name, functionality FROM prof

@@ -62,11 +62,18 @@ WILDCARD_RE = r"\[\d+\]"
 
 @dataclass
 class Mapping:
-    """The engine's function store: src payload field → target column."""
+    """The engine's function store: src payload field → target column.
+
+    ``payload_json_schema``: the inferred JSON schema (json-serialized
+    StructType) when the mapping was learned from a raw-JSON payload —
+    lets ``apply_mapping`` re-parse a *streaming* source, where schema
+    inference (a collect) is impossible.
+    """
 
     key_fields: dict[str, str]  # tgt key column -> src field
     columns: list[dict]  # rows: tgt_column, src_field, metric, votes, support, confidence
     evolution_events: list[str] = field(default_factory=list)
+    payload_json_schema: str | None = None
 
     def as_dict(self) -> dict[str, str]:
         d = dict(self.key_fields)
@@ -81,6 +88,7 @@ class Mapping:
                 "key_fields": self.key_fields,
                 "columns": self.columns,
                 "evolution_events": self.evolution_events,
+                "payload_json_schema": self.payload_json_schema,
             },
             sort_keys=True,
             indent=2,
@@ -95,19 +103,23 @@ class Mapping:
             key_fields=d["key_fields"],
             columns=d["columns"],
             evolution_events=d.get("evolution_events", []),
+            payload_json_schema=d.get("payload_json_schema"),
         )
 
 
-def normalize_payload(drifted: DataFrame, payload_col: str = "payload") -> DataFrame:
+def normalize_payload(
+    drifted: DataFrame, payload_col: str = "payload", json_schema=None
+) -> DataFrame:
     """Payload-format dispatch (S2/C9): a raw JSON-string payload is
     flattened to ``map<string,string>`` dotted paths with ``[i]`` array
     indices (ResponseConverter.java:16-54) — one codegen projection; a
-    map payload passes through unchanged."""
+    map payload passes through unchanged.  ``json_schema`` (StructType)
+    skips sample inference — required on streaming DataFrames."""
     if dict(drifted.dtypes).get(payload_col, "").startswith("map"):
         return drifted
     from filipo_spark.functions.json_flatten import json_payload_to_map
 
-    return json_payload_to_map(drifted, payload_col)
+    return json_payload_to_map(drifted, payload_col, schema=json_schema)
 
 
 def flatten_payload(drifted: DataFrame) -> DataFrame:
@@ -221,7 +233,14 @@ def align(
     ``debug``: optional dict that receives named internal DataFrames
     (plan-shape tests assert boundedness on them).
     """
-    drifted = normalize_payload(drifted)
+    payload_schema = None
+    if not dict(drifted.dtypes)["payload"].startswith("map"):
+        # infer ONCE here; the schema travels with the Mapping so
+        # apply_mapping can re-parse a streaming source (no collect there)
+        from filipo_spark.functions.json_flatten import infer_json_schema
+
+        payload_schema = infer_json_schema(drifted, "payload")
+        drifted = normalize_payload(drifted, json_schema=payload_schema)
     sample = drifted.where(F.col("op") != "D").orderBy(
         F.md5(F.col("lsn").cast("string"))
     ).limit(n_probe * 5)
@@ -500,7 +519,12 @@ def align(
             f"map:{r['src_field']}->{r['tgt_column']}({r['metric']},conf={r['confidence']})"
             for r in cols
         ]
-        return Mapping(key_fields=key_fields, columns=cols, evolution_events=events)
+        return Mapping(
+            key_fields=key_fields,
+            columns=cols,
+            evolution_events=events,
+            payload_json_schema=payload_schema.json() if payload_schema else None,
+        )
     finally:
         src_flat.unpersist()
         if tgt_long is not None:
@@ -613,8 +637,17 @@ def apply_mapping(drifted: DataFrame, mapping: Mapping) -> DataFrame:
     renames + casts driven by the mapping; combined linkage points
     concatenate their parts; unmapped target columns null.  Pure column
     projection — runs on full batches at stream volume (a JSON-string
-    payload adds exactly one codegen'd from_json+flatten projection)."""
-    drifted = normalize_payload(drifted)
+    payload adds exactly one codegen'd from_json+flatten projection,
+    using the schema captured at align() time so streaming sources need
+    no inference collect)."""
+    json_schema = None
+    if mapping.payload_json_schema:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        json_schema = StructType.fromJson(_json.loads(mapping.payload_json_schema))
+    drifted = normalize_payload(drifted, json_schema=json_schema)
     m = mapping.as_dict()
     seps = {
         r["tgt_column"]: r.get("combine_sep", "")

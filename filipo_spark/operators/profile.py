@@ -87,6 +87,35 @@ def schema_profile(
     )
 
 
+def type_triples(df: DataFrame, subject_type: str, columns: list[str] | None = None) -> DataFrame:
+    """Type-level triple aggregation (A2): ``(subject_type, predicate,
+    object_type) → count`` — the reference's schema extractor aggregates
+    instance triples to type triples the same way
+    (TripleAnalyzer.java:32-45 feeding SchemaExtractor.java:96-133).
+    Here subject type is the table's entity, predicates are columns, and
+    object types are sniffed per VALUE (not per column), so mixed-type
+    predicates split across rows.  One melt + one hash aggregation."""
+    long = melt(df, columns)
+    v = F.col("value")
+    object_type = (
+        F.when(v.isNull(), F.lit("null"))
+        .when(v.rlike(INT_RE), F.lit("int"))
+        .when(v.rlike(DOUBLE_RE), F.lit("double"))
+        .when(v.rlike(TS_RE), F.lit("timestamp"))
+        .when(v.rlike(URL_RE), F.lit("url"))
+        .otherwise(F.lit("text"))
+    )
+    return (
+        long.select(
+            F.lit(subject_type).alias("subject_type"),
+            F.col("column_name").alias("predicate"),
+            object_type.alias("object_type"),
+        )
+        .groupBy("subject_type", "predicate", "object_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def identifiers(
     profile: DataFrame, threshold: float = FUNCTIONALITY_THRESHOLD
 ) -> DataFrame:

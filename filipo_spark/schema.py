@@ -54,6 +54,16 @@ DRIFTED_SCHEMA = T.StructType(
     ]
 )
 
+# Raw-JSON drifted stream: payload is the wire-shape JSON string (C9);
+# the mapper flattens it to dotted [i]-paths in one codegen projection.
+DRIFTED_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("payload", T.StringType(), False),
+    ]
+)
+
 # --- engine constants (FiLiPo threshold names kept for traceability;
 # defaults from /root/reference/config.json:13-30) ----------------------------
 STRING_SIMILARITY = 0.5  # config.json:17 — per-value similarity gate

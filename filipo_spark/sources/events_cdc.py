@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 
 TURNS_MOD = 40
 
+# driver-provided parquet tables at every scale factor
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
 # the same mapping as ANSI SQL over the `events` view (DuckDB oracle side)
 CHANGES_FROM_EVENTS_SQL = """
 SELECT event_id AS lsn,

@@ -49,6 +49,12 @@ def tail_changelog(
     """
     if mapping is None:
         stream = spark.readStream.schema(CHANGE_SCHEMA)
+    elif getattr(mapping, "payload_json_schema", None):
+        # raw-JSON wire WAL: the mapping carries the payload schema
+        # captured at align() time, so no inference runs on the stream
+        from filipo_spark.schema import DRIFTED_JSON_SCHEMA
+
+        stream = spark.readStream.schema(DRIFTED_JSON_SCHEMA)
     else:
         from filipo_spark.schema import DRIFTED_SCHEMA
 

@@ -67,3 +67,28 @@ def test_stream_with_drift_mapping(spark, tmp_path):
     # evolution events recorded in commit lineage
     evo = [e for m in table.manifest() for e in m["evolution_events"]]
     assert any("->conv_id(key)" in e for e in evo)
+
+
+def test_stream_with_raw_json_drift(spark, tmp_path):
+    """Flagship C9×St path: a raw-JSON wire WAL (payload = nested JSON
+    string) is aligned once in batch (schema inferred + stored in the
+    Mapping), then streamed through the same apply path — no schema
+    inference on the stream, final state equals the undrifted replay."""
+    from filipo_spark.align import align
+    from filipo_spark.align.mapper import Mapping
+
+    target = gen_transcripts(spark, n_conv=10, max_turns=10, seed=45)
+    log = gen_changelog(spark, n_conv=10, n_events=800, seed=45, max_turns=10)
+    mapping = align(gen_drifted(gen_echo_changelog(target), "json"), target)
+    assert mapping.payload_json_schema  # schema captured at align() time
+    # round-trip through the function-store artifact (what a stream job loads)
+    mapping = Mapping.from_json(mapping.to_json())
+
+    src = str(tmp_path / "wal")
+    gen_drifted(log, "json").write.parquet(src)
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=4)
+    table.bootstrap(target)
+    tail_changelog(spark, src, table, str(tmp_path / "ckpt"), mapping=mapping)
+
+    want = df_rows(canonical(logical(apply_batch(to_physical(target), log))))
+    assert df_rows(canonical(table.read_logical(spark))) == want
