@@ -21,6 +21,12 @@ Engine design — pure Catalyst, no per-row Python:
 
 Depth is bounded by the inferred schema, mirroring the reference's
 recursion over the parsed tree.
+
+Known divergence from dynamic (per-record) flattening: a *type-
+heterogeneous array* (e.g. ``[[], false]``) has no Spark array type, so
+inference falls back to ``array<string>`` and non-scalar elements
+surface as their raw JSON text instead of recursing.  Homogeneous
+arrays — the shape real APIs emit — flatten exactly.
 """
 
 from __future__ import annotations

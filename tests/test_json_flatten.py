@@ -72,6 +72,71 @@ def test_align_job_json_format(spark, tmp_path):
     }
 
 
+def _py_flatten(obj, prefix=""):
+    """Pure-Python reference of the reference's flatten
+    (ResponseConverter.java:16-54): dotted paths, [i] indices, null
+    leaves dropped."""
+    out = {}
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            out.update(_py_flatten(v, f"{prefix}.{k}" if prefix else k))
+    elif isinstance(obj, list):
+        for i, v in enumerate(obj):
+            out.update(_py_flatten(v, f"{prefix}[{i}]"))
+    elif obj is not None and prefix:
+        if isinstance(obj, bool):
+            out[prefix] = "true" if obj else "false"
+        else:
+            out[prefix] = str(obj)
+    return out
+
+
+def test_flatten_matches_python_oracle_property(spark):
+    """Property: for random nested JSON objects, the codegen flatten
+    equals the pure-Python reference flatten."""
+    import json
+
+    from hypothesis import given, settings, strategies as st
+
+    keys = st.from_regex(r"[a-z][a-z0-9_]{0,5}", fullmatch=True)
+    leaves = st.one_of(
+        st.integers(-1000, 1000),
+        st.booleans(),
+        st.text(alphabet="abcxyz ", max_size=8),
+        st.none(),
+    )
+    # arrays are type-homogeneous (nullable) — the shape real APIs emit;
+    # heterogeneous arrays hit the documented array<string> inference
+    # fallback and are out of contract
+    homo_lists = st.one_of(
+        st.lists(st.one_of(st.integers(-1000, 1000), st.none()), max_size=3),
+        st.lists(st.one_of(st.booleans(), st.none()), max_size=3),
+        st.lists(st.one_of(st.text(alphabet="abcxyz ", max_size=8), st.none()), max_size=3),
+    )
+    values = st.recursive(
+        leaves,
+        lambda children: st.one_of(
+            homo_lists,
+            st.dictionaries(keys, children, max_size=3),
+        ),
+        max_leaves=8,
+    )
+    objs = st.dictionaries(keys, values, min_size=1, max_size=4)
+
+    @settings(max_examples=10, deadline=None)
+    @given(obj=objs)
+    def run(obj):
+        payload = json.dumps(obj)
+        df = spark.createDataFrame([(1, payload)], "id int, payload string")
+        got = {
+            r["key"]: r["value"]
+            for r in json_flatten_long(df, "payload", ["id"]).collect()
+        }
+        assert got == _py_flatten(obj)
+
+    run()
+
+
 def test_schema_inference_merges_sparse_fields(spark):
     """Fields absent from some records (nulls omitted by the producer)
     still appear in the merged schema."""

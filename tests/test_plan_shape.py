@@ -23,6 +23,17 @@ def test_bucket_aligned_resolve_single_exchange(spark):
     assert "_bucket" in plan and "_salt" in plan
 
 
+def test_centroid_seed_is_distributed_take_ordered(spark):
+    """IVF centroid seeding must be a distributed TakeOrdered
+    (orderBy+limit), not a global no-partition window that pulls the
+    whole corpus through one task."""
+    from filipo_spark.operators.similarity_join import deterministic_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(deterministic_centroids(emb, 8))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_parquet_scan_prunes_columns(spark, tmp_path):
     """Column pruning reaches the parquet reader (ReadSchema shows only
     requested columns)."""
