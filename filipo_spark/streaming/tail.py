@@ -40,12 +40,17 @@ def tail_changelog(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     mapping=None,
+    compact_every: int = 0,
+    compact_min_files: int = 8,
 ) -> dict:
     """Tail parquet change files from ``source_dir`` into ``table``.
 
     ``available_now=True`` drains everything currently present and stops
     (the testable mode); pass False for a continuous micro-batch tail.
     ``mapping`` (align.Mapping) re-types drifted payloads in-stream.
+    ``compact_every=k`` folds over-fragmented buckets every k applied
+    batches — the long-running-stream twin of replay's MoR maintenance
+    (read amplification stays bounded while the tail runs for months).
     """
     if mapping is None:
         stream = spark.readStream.schema(CHANGE_SCHEMA)
@@ -81,6 +86,9 @@ def tail_changelog(
         )
         stats["batches"] += 1
         stats["skipped"] += int(res.skipped)
+        applied = stats["batches"] - stats["skipped"]
+        if compact_every and not res.skipped and applied % compact_every == 0:
+            table.compact(spark, min_files=compact_min_files, epoch=int(batch_id))
 
     writer = df.writeStream.foreachBatch(apply_fn).option(
         "checkpointLocation", checkpoint_dir

@@ -182,19 +182,49 @@ class IceletTable:
                 files.extend(os.path.join(self.root, rel) for rel in fl)
         return files
 
-    def read_raw(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def snapshot_ids(self) -> list[str]:
+        """Snapshot lineage, oldest→current (parent-chain walk)."""
+        chain: list[str] = []
+        sid = self.current_snapshot_id()
+        seen: set[str] = set()
+        while sid and sid not in seen:
+            seen.add(sid)
+            chain.append(sid)
+            with open(self._snap_path(sid)) as f:
+                sid = json.load(f).get("parent")
+        return list(reversed(chain))
+
+    def read_raw(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        snapshot_id: str | None = None,
+    ) -> DataFrame:
         """All physical rows (possibly multiple versions per key in MoR).
 
         Explicit file list → no directory listing, exact pruning.
+        ``snapshot_id`` time-travels to any snapshot still on the current
+        lineage (snapshots are immutable file lists; vacuum() keeps every
+        file the lineage references).
         """
-        files = self._files_of(self.current_snapshot(), buckets)
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            with open(self._snap_path(snapshot_id)) as f:
+                snap = json.load(f)
+        files = self._files_of(snap, buckets)
         if not files:
             return spark.createDataFrame([], _PHYS_SCHEMA_DDL)
         return spark.read.schema(_PHYS_SCHEMA_DDL).parquet(*files)
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        snapshot_id: str | None = None,
+    ) -> DataFrame:
         """Resolved physical state: one row per key (LWW fold over raw)."""
-        return lww_resolve(self.read_raw(spark, buckets))
+        return lww_resolve(self.read_raw(spark, buckets, snapshot_id))
 
     def read_logical(self, spark: SparkSession) -> DataFrame:
         from filipo_spark.operators.merge import logical

@@ -69,6 +69,24 @@ def test_stream_with_drift_mapping(spark, tmp_path):
     assert any("->conv_id(key)" in e for e in evo)
 
 
+def test_stream_compaction_cadence(spark, tmp_path):
+    """Long-running tails stay read-bounded: compact_every folds delta
+    files while the stream applies batches; state is unaffected."""
+    log = gen_changelog(spark, n_conv=10, n_events=1200, seed=46)
+    src = str(tmp_path / "wal")
+    for k in range(3):
+        log.where(f"lsn % 3 = {k}").write.mode("append").parquet(src)
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=4)
+    stats = tail_changelog(
+        spark, src, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, compact_every=1, compact_min_files=2,
+    )
+    assert stats["batches"] >= 2
+    assert df_rows(canonical(table.read_logical(spark))) == _want(spark, log)
+    files = sum(len(v) for v in table.current_snapshot()["files"].values())
+    assert files <= 4  # folded back to ~one file per bucket
+
+
 def test_stream_with_raw_json_drift(spark, tmp_path):
     """Flagship C9×St path: a raw-JSON wire WAL (payload = nested JSON
     string) is aligned once in batch (schema inferred + stored in the

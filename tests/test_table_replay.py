@@ -131,6 +131,22 @@ def test_mor_vs_cow_equality_and_compaction(spark, tmp_path, log):
     assert r.epochs_applied == 0
 
 
+def test_snapshot_time_travel(spark, tmp_path, log):
+    """Snapshots are immutable file lists: reading an older snapshot id
+    reproduces the state as of that commit, byte-identical, even after
+    later epochs land (vacuum keeps lineage-referenced files)."""
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=8)
+    run_replay(spark, t, log, batch_size=800, max_epochs=2)
+    sid_mid = t.current_snapshot_id()
+    state_mid = df_rows(canonical(logical(t.read(spark))))
+    run_replay(spark, t, log, batch_size=800)  # rest of the log
+    assert t.current_snapshot_id() != sid_mid
+    assert sid_mid in t.snapshot_ids()
+    t.vacuum()
+    assert df_rows(canonical(logical(t.read(spark, snapshot_id=sid_mid)))) == state_mid
+    assert df_rows(canonical(t.read_logical(spark))) == expected_state(spark, log)
+
+
 def test_manifest_lineage(spark, tmp_path, log):
     t = IceletTable.create(str(tmp_path / "t"), n_buckets=8)
     run_replay(spark, t, log, batch_size=1000)
