@@ -356,6 +356,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-bucketed (dedup family's
+    vector member; exact cosine only on bucket-sharing candidates)."""
+    from filipo_spark.operators.similarity_join import embedding_near_dups
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    return embedding_near_dups(
+        read_table(spark, sf_dir, "embeddings"),
+        threshold=0.42, n_centroids=8, n_probes=2,
+    ).orderBy("id_a", "id_b")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → mapInPandas feature
     extraction (decode kernel stubbed; Arrow path real) — rows-only."""
@@ -486,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "cosine_topk": q_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
         "json_flatten": q_json_flatten,
         "degenerate_columns": q_degenerate_columns,
@@ -789,6 +803,27 @@ ORDER BY doc_a, doc_b""",
         "minhash_lsh_pairs": _LSH_SQL,
         "simhash_near_pairs": _simhash_sql(max_hamming=8),
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "embedding_near_dups": """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id,
+         embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS DOUBLE), 6) DESC,
+             c.centroid_id) rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn <= 2),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CAST(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS DOUBLE), 4) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.42
+ORDER BY id_a, id_b""",
         "json_flatten": """
 WITH base AS (SELECT * FROM events WHERE event_id < 1000),
 longf AS (

@@ -116,6 +116,38 @@ def deterministic_centroids(
     )
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold),
+    IVF-bucketed: each vector lands in its ``n_probes`` nearest centroid
+    buckets and pairs are compared iff they share one — the self-join
+    collapses from O(n²) to O(Σ bucket²), the same recall trade as
+    ``ann_ivf_topk``.  The exact-cosine filter runs on candidates only."""
+    cents = deterministic_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, n_probes, id_col, vec_col)
+    x = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "centroid_id"
+    )
+    y = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "centroid_id"
+    )
+    return (
+        x.join(y, on="centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+        )
+        .distinct()
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -233,6 +233,28 @@ def test_common_prefix_len(spark):
     }
 
 
+def test_embedding_near_dups_subset_and_recall(spark):
+    """Bucketed near-dup pairs are exact-cosine-verified candidates:
+    always a subset of the brute-force relation, with usable recall."""
+    from filipo_spark.operators.similarity_join import cosine, embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 4) >= 0.42)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, threshold=0.42, n_centroids=8, n_probes=2).collect()
+    }
+    assert got <= brute
+    assert brute and len(got) / len(brute) >= 0.3, (len(got), len(brute))
+
+
 def test_text_functions_vs_duckdb(docs, ddb_docs):
     got = df_rows(
         docs.select(
