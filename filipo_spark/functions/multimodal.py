@@ -110,6 +110,65 @@ def extract_features(
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, decoder: str = "fake"
+) -> DataFrame:
+    """Image resize: target geometry (aspect-preserving fit into
+    ``max_side``) is computed JVM-side as pure column math — only the
+    pixel kernel crosses into the Arrow batch.  ``fake`` kernel shrinks
+    the payload proportionally to the pixel ratio (deterministic,
+    transport-faithful); ``real`` raises at the PIL seam."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(decoder)
+    imgs = media.where(F.col("kind") == "image")
+    scale = F.least(
+        F.lit(1.0), F.lit(float(max_side)) / F.greatest("width", "height")
+    )
+    planned = imgs.select(
+        "media_id",
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("width"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("height"),
+        "payload",
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resize (PIL) is not installed in this "
+                    "container; plug it in here"
+                )
+            out = []
+            for p, sw, sh, w, h in zip(
+                pdf["payload"], pdf["src_width"], pdf["src_height"],
+                pdf["width"], pdf["height"],
+            ):
+                if p is None:
+                    out.append(None)
+                    continue
+                ratio = (w * h) / max(sw * sh, 1)
+                out.append(bytes(p[: max(1, int(len(p) * ratio))]))
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return planned.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp —
     the shuffle-side of frame extraction (the decode itself is the same

@@ -33,6 +33,31 @@ def test_real_decoder_seam_raises(spark):
         extract_features(media, decoder="real").collect()
 
 
+def test_resize_images_geometry_and_seam(spark):
+    """Resize: aspect-preserving fit computed JVM-side; fake kernel
+    shrinks payloads proportionally; real seam raises."""
+    from filipo_spark.functions.multimodal import RESIZE_SCHEMA, resize_images
+
+    media = gen_media(spark, n=80, seed=7)
+    out = resize_images(media, max_side=100)
+    assert out.schema == RESIZE_SCHEMA
+    rows = out.collect()
+    n_imgs = media.where("kind = 'image'").count()
+    assert len(rows) == n_imgs
+    for r in rows:
+        assert max(r["width"], r["height"]) <= 100
+        # aspect preserved within floor rounding
+        if r["src_width"] >= r["src_height"]:
+            assert r["width"] >= r["height"]
+        else:
+            assert r["height"] >= r["width"]
+        # never upscale beyond source, payload shrank with pixel count
+        assert r["width"] <= r["src_width"] and r["height"] <= r["src_height"]
+        assert r["payload"] is not None and len(r["payload"]) >= 1
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        resize_images(media, decoder="real").collect()
+
+
 def test_frame_sample_plan(spark):
     media = gen_media(spark, n=100, seed=7)
     plan = frame_sample_plan(media, every_ms=5000)
