@@ -86,7 +86,10 @@ def test_combined_linkage_split_profile(spark):
     from filipo_spark.operators.merge import apply_batch, canonical, logical, to_physical
 
     target = gen_transcripts(spark, n_conv=30, max_turns=15, seed=88)
-    mapping = align(gen_drifted(gen_echo_changelog(target), "split"), target)
+    # n_probe=150: the sparse tool column (~25% of rows) needs enough
+    # probe records to clear the candidate_responses vote threshold —
+    # the same sizing call FiLiPo makes with similarity_requests
+    mapping = align(gen_drifted(gen_echo_changelog(target), "split"), target, n_probe=150)
     assert mapping.as_dict()["text"] == "text_head+text_tail"
     assert [r for r in mapping.columns if r["tgt_column"] == "text"][0][
         "metric"
