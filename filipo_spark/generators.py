@@ -334,6 +334,29 @@ def gen_drifted(changes: DataFrame, profile: str = "rename") -> DataFrame:
             ),
             ("comment", F.substring(F.col("text"), 1, 5)),
         ]
+    elif profile == "mixed":
+        # every drift family at once, on disjoint column subsets:
+        # rename (keys), nested paths (role/ts), split (text), wildcard
+        # (tool), plus both decoy kinds.  The decoy copy share stays
+        # under the C12 depth-discount break-even (a flat copy on a
+        # majority of rows would legitimately outrank a depth-3 path).
+        half = F.floor(F.length("text") / 2).cast("int")
+        entries = [
+            ("conversation_id", F.col("conv_id")),
+            ("turnIndex", F.col("turn_idx").cast("string")),
+            ("message.meta.role", F.col("role")),
+            ("text_head", F.col("text").substr(F.lit(1), half)),
+            ("text_tail", F.col("text").substr(half + 1, F.length("text"))),
+            ("tools[0].name", F.col("tool")),
+            ("message.meta.time", iso_ts),
+            (
+                "author_role",
+                F.when(F.pmod(F.xxhash64("lsn"), F.lit(5)) < 1, F.col("role")).otherwise(
+                    F.lit("moderator")
+                ),
+            ),
+            ("comment", F.substring(F.col("text"), 1, 5)),
+        ]
     else:
         raise ValueError(f"unknown drift profile: {profile}")
     pairs = [x for name, col in entries for x in (F.lit(name), col)]

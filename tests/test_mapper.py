@@ -100,6 +100,24 @@ def test_e2e_drifted_replay_equals_undrifted(spark, base, profile):
     assert df_rows(got) == df_rows(want)
 
 
+def test_mixed_profile_union_of_drifts(spark, base):
+    """FIXTURES §3 `mixed`: every drift family at once on disjoint
+    columns — renames, nested paths, split text, wildcard tool, both
+    decoys.  Precision = recall = 1.0 on the union ground truth."""
+    target, echo, _changes = base
+    mapping = align(gen_drifted(echo, "mixed"), target, n_probe=150)
+    assert mapping.as_dict() == {
+        "conv_id": "conversation_id",
+        "turn_idx": "turnIndex",
+        "role": "message.meta.role",
+        "text": "text_head+text_tail",
+        "tool": "tools[*].name",
+        "ts": "message.meta.time",
+    }
+    mapped_src = set(mapping.as_dict().values())
+    assert "author_role" not in mapped_src and "comment" not in mapped_src
+
+
 def test_depth_discount_rejects_deeper_decoy(spark, base):
     """C12 (AlignmentProcessor.java:651-661): a perfect copy of role at a
     DEEPER path ties on votes, confidence and exactness — only the
