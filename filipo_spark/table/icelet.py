@@ -168,7 +168,13 @@ class IceletTable:
         }
 
     def _append_manifest(self, row: dict[str, Any]) -> None:
+        import datetime
+
         p = os.path.join(self._meta, "manifest.jsonl")
+        row = dict(
+            row,
+            committed_at=datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        )
         with open(p, "a") as f:
             f.write(json.dumps(row, sort_keys=True) + "\n")
             f.flush()
