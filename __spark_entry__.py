@@ -424,8 +424,11 @@ def q_degenerate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_support_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 SCP: support/confidence of (event_type, value-bucket) pairs
-    split by purchasing vs non-purchasing users
-    (SupportConfidenceProcessor.java:18-48)."""
+    split by HIGH-VALUE purchasers (value > 200) vs the rest
+    (SupportConfidenceProcessor.java:18-48).  Every user purchases in
+    this dataset, so the plain buyer split was degenerate (empty
+    nonmatching set ⇒ gate ratio 1 ⇒ zero output rows); the high-value
+    cohort produces a discriminative, non-trivial SCP result."""
     from filipo_spark.align.scp import scp
     from filipo_spark.sources import read_table
 
@@ -436,7 +439,7 @@ def q_support_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("field"),
         F.floor(F.col("value") / 100).cast("int").cast("string").alias("value"),
     )
-    buyers = e.where("event_type = 'purchase'").select(
+    buyers = e.where("event_type = 'purchase' AND value > 200").select(
         F.col("user_id").alias("record_id")
     ).distinct()
     matching = obs.join(buyers, on="record_id")
@@ -904,7 +907,8 @@ WITH obs AS (
   SELECT user_id AS record_id, event_type AS field,
          CAST(CAST(floor(value/100) AS INT) AS VARCHAR) AS value
   FROM events),
-buyers AS (SELECT DISTINCT user_id AS record_id FROM events WHERE event_type = 'purchase'),
+buyers AS (SELECT DISTINCT user_id AS record_id FROM events
+           WHERE event_type = 'purchase' AND value > 200),
 m AS (SELECT o.* FROM obs o JOIN buyers b USING (record_id)),
 nm AS (SELECT o.* FROM obs o ANTI JOIN buyers b USING (record_id)),
 stats AS (
