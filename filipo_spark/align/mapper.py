@@ -246,6 +246,7 @@ def align(
     ).limit(n_probe * 5)
     src_flat = flatten_payload(sample).cache()
     tgt_long = None
+    paired = None
     try:
         # bounded: distinct fields of the probe sample (needed for the
         # pivot values list and the combined pass — one small collect)
@@ -296,7 +297,8 @@ def align(
             .select("lsn", *KEY_COLUMNS)
             .orderBy(F.md5(F.col("lsn").cast("string")))
             .limit(n_probe)
-        )
+        ).cache()  # ≤ n_probe rows, reused by 3+ joins — without the
+        # cache each reuse re-runs the pairing scan of the target
 
         # --- (3) probe-row fetch + bounded melt ---
         tgt_probe_rows = target.join(
@@ -529,6 +531,8 @@ def align(
         src_flat.unpersist()
         if tgt_long is not None:
             tgt_long.unpersist()
+        if paired is not None:
+            paired.unpersist()
 
 
 def _dump_evaluation_pairs(
