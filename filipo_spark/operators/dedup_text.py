@@ -251,13 +251,15 @@ def simhash_near_pairs(
     bounds = [
         (c * n_bits // n_chunks, (c + 1) * n_bits // n_chunks) for c in range(n_chunks)
     ]
+    def _chunk_val(lo: int, hi: int) -> Column:
+        col = F.shiftright(F.col("simhash"), lo)
+        if hi - lo < 64:  # a full-width chunk (max_hamming=0) needs no mask,
+            # and (1<<64)-1 would overflow the long literal
+            col = col.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+        return col
+
     chunks = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), lo)
-            .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
-            .alias("cv"),
-        )
+        F.struct(F.lit(c).alias("chunk"), _chunk_val(lo, hi).alias("cv"))
         for c, (lo, hi) in enumerate(bounds)
     ]
     long_ = sig.select(

@@ -163,7 +163,7 @@ def test_simhash_chunking_is_recall_complete(docs):
     the chunked candidate path returns exactly the brute-force relation
     {pairs: hamming <= h} — for h both below and above the old fixed-4
     layout's guarantee of 3."""
-    for h, fn in [(3, "xx64"), (8, "md5")]:
+    for h, fn in [(0, "xx64"), (3, "xx64"), (8, "md5")]:
         sig = simhash(docs, hash_fn=fn)
         a, b = sig.alias("a"), sig.alias("b")
         brute = (
