@@ -51,9 +51,13 @@ def main(argv: list[str] | None = None) -> None:
         with open(args.mapping) as f:
             source = apply_mapping(source, Mapping.from_json(f.read()))
 
-    report = run_replay(spark, table, source, batch_size=args.batch_size)
+    report = run_replay(
+        spark, table, source, batch_size=args.batch_size,
+        compact_every=args.compact_every,
+    )
     if args.compact_every:
-        table.compact(spark, min_files=args.compact_every)
+        # final fold so a run never ends on an over-fragmented table
+        table.compact(spark, min_files=2)
 
     from filipo_spark.metrics import replay_metrics
 
