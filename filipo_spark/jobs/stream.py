@@ -23,6 +23,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="keep tailing (default: drain available data and stop)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--mapping", help="optional mapping.json for a drifted source")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="fold over-fragmented buckets every N applied batches")
     ap.add_argument("--cpus", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -48,6 +50,7 @@ def main(argv: list[str] | None = None) -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.continuous,
         mapping=mapping,
+        compact_every=args.compact_every,
     )
     if args.continuous:
         stats.pop("query").awaitTermination()
