@@ -304,7 +304,11 @@ def main() -> None:
         qmap[name](spark, SF_DIR).count()
         queries[name] = round(time.perf_counter() - t0, 3)
     # alignment path (the namesake feature — measured so target-side
-    # regressions show up as wall-clock, not just plan shape)
+    # regressions show up as wall-clock, not just plan shape).  Warmed
+    # once first: the initial run pays one-time codegen/Arrow-UDF init
+    # that a long-lived driver amortizes — same policy as the replay
+    # warm-up above.
+    qmap["schema_evolution_mapping"](spark, SF_DIR).count()
     t0 = time.perf_counter()
     qmap["schema_evolution_mapping"](spark, SF_DIR).count()
     queries["align_sec"] = round(time.perf_counter() - t0, 3)
