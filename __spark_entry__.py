@@ -332,6 +332,19 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing: min md5 k-gram
+    hash per sliding window) — (doc_id, fp) rows."""
+    from filipo_spark.operators.dedup_text import winnowing_fingerprints
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    d = read_table(spark, sf_dir, "documents").where("doc_id < 100")
+    return winnowing_fingerprints(d).select(
+        F.col("doc").alias("doc_id"), "fp"
+    ).orderBy("doc_id", "fp")
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for the first 5 vectors (ANN baseline)."""
     from filipo_spark.operators.similarity_join import cosine_topk
@@ -500,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "text_metrics": q_text_metrics,
+        "winnowing_fp": q_winnowing_fp,
         "cosine_topk": q_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -869,6 +883,21 @@ SELECT doc_id, n_ws, n_bpe,
        WHEN v_es >= v_de THEN 'es' ELSE 'de' END AS lang_guess,
   fp
 FROM f ORDER BY doc_id""",
+        "winnowing_fp": r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 100),
+g AS (
+  SELECT doc_id,
+         [md5(substr(t, i, 5)) FOR i IN range(1, greatest(length(t) - 4, 1) + 1)] AS grams
+  FROM norm),
+w AS (
+  SELECT doc_id, list_distinct([
+    list_aggregate(grams[j:j+3], 'min')
+    FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)
+  ]) AS fps
+  FROM g)
+SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""",
         "cosine_topk": """
 WITH scored AS (
   SELECT q.vec_id query_id, c.vec_id neighbor_id,

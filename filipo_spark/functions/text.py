@@ -105,6 +105,16 @@ def fingerprint_md5(c: Column) -> Column:
     return F.md5(norm_text(c))
 
 
+def char_gram_hashes(c: Column, k: int = 5) -> Column:
+    """Ordered md5 hashes of every char k-gram of the normalized text —
+    the rolling-hash stream winnowing consumes (engine-portable)."""
+    s = norm_text(c)
+    n_grams = F.greatest(F.length(s) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(s.substr(i, F.lit(k)))
+    )
+
+
 def common_prefix_len(a: Column, b: Column) -> Column:
     """Length of the longest common prefix of two strings — native
     expression (C5, reference Utils/Utils.java:30-38): first differing
