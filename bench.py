@@ -223,6 +223,32 @@ def _deep_section() -> str:
     )
 
 
+def _merge_best_headline(headline: dict) -> dict:
+    """Best observed headline across bench runs (same policy as the
+    scaling sidecars: host steal is strictly additive slowdown, so the
+    fastest run estimates uncontended hardware; the current sample is
+    still reported alongside)."""
+    path = os.path.join(REPO, "BENCH", "headline.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    best = {
+        "events_per_sec": round(headline["events_per_sec"]),
+        "seconds": round(headline["seconds"], 3),
+        "events": headline["events"],
+        "epochs": headline["epochs"],
+    }
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if (
+            prev.get("events") == best["events"]
+            and prev.get("events_per_sec", 0) > best["events_per_sec"]
+        ):
+            best = prev
+    with open(path, "w") as f:
+        json.dump(best, f, sort_keys=True)
+    return best
+
+
 def write_baseline_md(scaling: dict, headline: dict, sf: float) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -255,9 +281,12 @@ def write_baseline_md(scaling: dict, headline: dict, sf: float) -> None:
             + _deep_section() +
             "## Headline throughput\n\n"
             f"local[{CPUS}] (unpinned), sf={sf}: "
-            f"{round(headline['events_per_sec']):,} events/sec sustained over "
+            f"{round(headline['events_per_sec']):,} events/sec this run over "
             f"{headline['events']:,} events, {headline['epochs']} epochs "
-            f"({headline['seconds']:.1f}s total).\n"
+            f"({headline['seconds']:.1f}s total); best observed across runs "
+            f"{_merge_best_headline(headline)['events_per_sec']:,} events/sec "
+            "(unpinned 32-vCPU level rides host contention — see the pinned "
+            "scaling tables above for the controlled numbers).\n"
         )
 
 
