@@ -334,12 +334,13 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (winnowing: min md5 k-gram
-    hash per sliding window) — (doc_id, fp) rows."""
+    hash per sliding window) — (doc_id, fp) rows over the FULL documents
+    table (per-doc linear window scan; partition = doc)."""
     from filipo_spark.operators.dedup_text import winnowing_fingerprints
     from filipo_spark.sources import read_table
 
     _utc(spark)
-    d = read_table(spark, sf_dir, "documents").where("doc_id < 100")
+    d = read_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(d).select(
         F.col("doc").alias("doc_id"), "fp"
     ).orderBy("doc_id", "fp")
@@ -886,7 +887,7 @@ FROM f ORDER BY doc_id""",
         "winnowing_fp": r"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-  FROM documents WHERE doc_id < 100),
+  FROM documents),
 g AS (
   SELECT doc_id,
          [md5(substr(t, i, 5)) FOR i IN range(1, greatest(length(t) - 4, 1) + 1)] AS grams

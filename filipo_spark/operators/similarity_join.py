@@ -137,15 +137,19 @@ def embedding_near_dups(
     y = assigned.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "centroid_id"
     )
-    return (
+    # dedup (id_a, id_b) candidates BEFORE scoring: a pair sharing
+    # several probed buckets must pay the 64-dim dot product once, not
+    # once per shared bucket (the vectors ride along — same bytes per id,
+    # so the distinct collapses them with the pair)
+    cands = (
         x.join(y, on="centroid_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
-        )
+        .select("id_a", "id_b", "va", "vb")
         .distinct()
-        .where(F.col("cos") >= threshold)
     )
+    return cands.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+    ).where(F.col("cos") >= threshold)
 
 
 def ann_ivf_topk(
@@ -166,15 +170,18 @@ def ann_ivf_topk(
     q_assign = ivf_assign(queries, cents, n_probes, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
     )
+    # pair-dedup before the cosine (see embedding_near_dups): a
+    # (query, neighbor) pair reached through 2+ probed buckets is scored once
     scored = (
         q_assign.join(c_assign, on="centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("score"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
