@@ -49,6 +49,7 @@ from filipo_spark.functions.similarity import (
 from filipo_spark.operators.profile import DOUBLE_RE, URL_RE
 from filipo_spark.schema import (
     CANDIDATE_RESPONSES,
+    ERROR_THRESHOLD,
     KEY_COLUMNS,
     MIN_CONFIDENCE,
     MIN_SUPPORT,
@@ -206,6 +207,7 @@ def align(
     string_similarity: float = STRING_SIMILARITY,
     record_similarity: float = RECORD_SIMILARITY,
     candidate_responses: float = CANDIDATE_RESPONSES,
+    error_threshold: float = ERROR_THRESHOLD,
     min_support: float = MIN_SUPPORT,
     min_confidence: float = MIN_CONFIDENCE,
     ruleset: list[dict] | None = None,
@@ -244,10 +246,41 @@ def align(
     sample = drifted.where(F.col("op") != "D").orderBy(
         F.md5(F.col("lsn").cast("string"))
     ).limit(n_probe * 5)
-    src_flat = flatten_payload(sample).cache()
+    src_flat_base = flatten_payload(sample).cache()
+    src_flat = src_flat_base
     tgt_long = None
     paired = None
     try:
+        # J4 error/degenerate-response pruning (AlignmentProcessor.java:
+        # 251-310, error_threshold config.json:22): the reference removes
+        # the modal "error page" response before aligning; the payload
+        # guise is a field whose modal value covers >= error_threshold of
+        # its non-null probe observations (a constant "status":"ok" field
+        # carries no alignment signal and must not enter key discovery or
+        # voting).  One bounded agg over the cached probe sample — the
+        # same statistic scp.degenerate_columns computes on wide tables.
+        fv = src_flat.groupBy("src_field", "src_value").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        deg_rows = (
+            fv.groupBy("src_field")
+            .agg(F.max(F.struct("n", "src_value")).alias("m"), F.sum("n").alias("n_tot"))
+            .where(F.col("m.n") >= F.col("n_tot") * error_threshold)
+            .select(
+                "src_field",
+                F.col("m.src_value").alias("modal"),
+                F.round(F.col("m.n") / F.col("n_tot"), 4).alias("ratio"),
+            )
+            .collect()
+        )
+        prune_events = [
+            f"prune:{r['src_field']}(modal={r['modal']},ratio={r['ratio']})"
+            for r in sorted(deg_rows, key=lambda r: r["src_field"])
+        ]
+        if deg_rows:
+            src_flat = src_flat.where(
+                ~F.col("src_field").isin([r["src_field"] for r in deg_rows])
+            )
         # bounded: distinct fields of the probe sample (needed for the
         # pivot values list and the combined pass — one small collect)
         all_src = sorted(
@@ -514,7 +547,7 @@ def align(
                 {k: v for k, v in best_row.items() if k not in ("n_parts", "exact", "weighted_votes")}
             )
 
-        events = [
+        events = prune_events + [
             f"map:{key_fields['conv_id']}->conv_id(key)",
             f"map:{key_fields['turn_idx']}->turn_idx(key)",
         ] + [
@@ -528,7 +561,7 @@ def align(
             payload_json_schema=payload_schema.json() if payload_schema else None,
         )
     finally:
-        src_flat.unpersist()
+        src_flat_base.unpersist()
         if tgt_long is not None:
             tgt_long.unpersist()
         if paired is not None:

@@ -317,6 +317,27 @@ def gen_drifted(changes: DataFrame, profile: str = "rename") -> DataFrame:
             ("tool_name", dashed),
             ("event_time", iso_ts),
         ]
+    elif profile == "errorpage":
+        # rename + degenerate response fields (the reference's modal
+        # "error page" analog, AlignmentProcessor.java:251-310): `status`
+        # is constant and `shard` is 90%-modal — both must be pruned from
+        # the probe sample before voting (J4 wiring, error_threshold
+        # config.json:22)
+        entries = [
+            ("conversation_id", F.col("conv_id")),
+            ("turnIndex", F.col("turn_idx").cast("string")),
+            ("role", F.col("role")),
+            ("content", F.col("text")),
+            ("tool_name", F.col("tool")),
+            ("event_time", iso_ts),
+            ("status", F.lit("ok")),
+            (
+                "shard",
+                F.when(F.pmod(F.xxhash64("lsn"), F.lit(10)) < 9, F.lit("s-1")).otherwise(
+                    F.lit("s-2")
+                ),
+            ),
+        ]
     elif profile == "decoy":
         entries = [
             ("conversation_id", F.col("conv_id")),

@@ -118,6 +118,31 @@ def test_mixed_profile_union_of_drifts(spark, base):
     assert "author_role" not in mapped_src and "comment" not in mapped_src
 
 
+def test_degenerate_fields_pruned_before_voting(spark, base):
+    """J4 wiring (AlignmentProcessor.java:251-310, error_threshold
+    config.json:22): modal-dominated payload fields are removed from the
+    probe sample BEFORE key discovery and voting — a constant
+    "status":"ok" and a 90%-modal "shard" field map nothing, are recorded
+    as prune events, and the rename ground truth is unchanged."""
+    target, echo, _changes = base
+    mapping = align(gen_drifted(echo, "errorpage"), target)
+    assert mapping.as_dict() == GROUND_TRUTH["rename"]
+    mapped_src = set(mapping.as_dict().values())
+    assert "status" not in mapped_src and "shard" not in mapped_src
+    prunes = [e for e in mapping.evolution_events if e.startswith("prune:")]
+    assert len(prunes) == 2, prunes
+    assert prunes[0].startswith("prune:shard(modal=s-1,ratio=0.9"), prunes
+    assert prunes[1] == "prune:status(modal=ok,ratio=1.0)", prunes
+    # the threshold is respected: raised above the shard dominance, only
+    # the constant field is pruned (the 2-valued shard survives the gate
+    # and still must not map — the vote threshold catches it downstream)
+    loose = align(gen_drifted(echo, "errorpage"), target, error_threshold=0.95)
+    assert [e for e in loose.evolution_events if e.startswith("prune:")] == [
+        "prune:status(modal=ok,ratio=1.0)"
+    ]
+    assert loose.as_dict() == GROUND_TRUTH["rename"]
+
+
 def test_depth_discount_rejects_deeper_decoy(spark, base):
     """C12 (AlignmentProcessor.java:651-661): a perfect copy of role at a
     DEEPER path ties on votes, confidence and exactness — only the
