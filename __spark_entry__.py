@@ -463,6 +463,55 @@ def q_support_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_auto_realign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-healing CDC (St-family × FiLiPo core): a drifted change
+    stream whose wire shape FLIPS mid-replay (rename → nested paths) is
+    replayed into an Icelet table; per-epoch health ratios detect the
+    flip, trigger in-loop re-alignment against the table's resolved
+    state, and the realignment is fenced in the commit manifest
+    (align/drift.py; reference analog AlignmentProcessor.java:72-95).
+    The stream carries a real mutation (upper-cased text on every 5th
+    turn, epoch-2 LSNs win LWW), so the final state is the LWW oracle
+    plus that mutation — fully ANSI-expressible.
+
+    Target ts is second-truncated before bootstrap because the drifted
+    wire renders ISO-8601 seconds (echo probes must tie on ts so the
+    higher LSN wins)."""
+    import tempfile
+
+    from filipo_spark.generators import gen_drifted, gen_echo_changelog
+    from filipo_spark.operators.merge import apply_batch, canonical, logical, to_physical
+    from filipo_spark.replay import run_drifted_replay
+    from filipo_spark.schema import TARGET_SCHEMA
+    from filipo_spark.sources import changes_from_events
+    from filipo_spark.table.icelet import IceletTable
+
+    _utc(spark)
+    ch = changes_from_events(spark, sf_dir)
+    empty = to_physical(spark.createDataFrame([], TARGET_SCHEMA))
+    target = logical(apply_batch(empty, ch)).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    table = IceletTable.create(
+        tempfile.mkdtemp(prefix="icelet-drift-"), n_buckets=8
+    )
+    table.bootstrap(target)
+    base, span = 1 << 41, 1 << 40
+    mut = F.pmod(F.col("turn_idx"), F.lit(5)) == 0
+    mutated = target.withColumn(
+        "text", F.when(mut, F.upper("text")).otherwise(F.col("text"))
+    )
+    drifted = gen_drifted(gen_echo_changelog(target, start_lsn=base), "rename").unionByName(
+        gen_drifted(gen_echo_changelog(mutated, start_lsn=base + span), "nested")
+    )
+    report = run_drifted_replay(
+        spark, table, drifted,
+        epochs=[(base - 1, base + span - 1), (base + span - 1, base + 2 * span - 1)],
+    )
+    assert [r["epoch"] for r in report.realigns] == [0, 1], report.realigns
+    return canonical(table.read_logical(spark))
+
+
 def q_schema_evolution_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FiLiPo core: recover a drifted payload→column mapping from an
     echo probe sample (golden drift profile 'typedrift') — rows-only
@@ -523,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degenerate_columns": q_degenerate_columns,
         "support_confidence": q_support_confidence,
         "schema_evolution_mapping": q_schema_evolution_mapping,
+        "drift_auto_realign": q_drift_auto_realign,
     }
 
 
@@ -955,6 +1005,19 @@ SELECT field, value,
 FROM per_pair, stats s
 WHERE (CAST(n_match AS DOUBLE) / n_all) > CAST(s.n_valid AS DOUBLE) / s.n_total
 ORDER BY confidence DESC, field, value""",
+        "drift_auto_realign": f"""
+WITH ch AS ({_CHANGES_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch),
+final AS (
+  SELECT conv_id, turn_idx, role, text, tool, date_trunc('second', ts) AS ts
+  FROM ranked WHERE rn = 1 AND op <> 'D')
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx % 5 = 0 THEN upper(text) ELSE text END AS text,
+       tool, ts
+FROM final ORDER BY conv_id, turn_idx""",
         # media_features / schema_evolution_mapping: intentionally no
         # oracle (mapInPandas transport and iterative alignment decision
         # rules are not ANSI-SQL-expressible) — driver records rows-only

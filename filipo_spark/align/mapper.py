@@ -49,6 +49,7 @@ from filipo_spark.functions.similarity import (
 from filipo_spark.operators.profile import DOUBLE_RE, URL_RE
 from filipo_spark.schema import (
     CANDIDATE_RESPONSES,
+    DISTRIBUTION_VARIANCE,
     ERROR_THRESHOLD,
     KEY_COLUMNS,
     MIN_CONFIDENCE,
@@ -208,6 +209,7 @@ def align(
     record_similarity: float = RECORD_SIMILARITY,
     candidate_responses: float = CANDIDATE_RESPONSES,
     error_threshold: float = ERROR_THRESHOLD,
+    distribution_variance: float = DISTRIBUTION_VARIANCE,
     min_support: float = MIN_SUPPORT,
     min_confidence: float = MIN_CONFIDENCE,
     ruleset: list[dict] | None = None,
@@ -518,6 +520,7 @@ def align(
             _combined_pass(
                 src_flat, tgt_long, paired, matching, comb_tgt, comb_src,
                 n_matching, string_similarity, candidate_responses,
+                distribution_variance,
             )
             if comb_tgt and len(comb_src) >= 2
             else []
@@ -610,16 +613,29 @@ def _combined_pass(
     n_matching: int,
     string_similarity: float,
     candidate_responses: float,
+    distribution_variance: float = DISTRIBUTION_VARIANCE,
 ) -> list[dict]:
     """Score concat(f1, f2) (and with a space) of unmapped src-field
     pairs against unmapped target columns over the matching probe set —
-    the engine's combined linkage point (AlignmentProcessor.java:674-717,
-    co-occurrence condition :697-709)."""
+    the engine's combined linkage point (AlignmentProcessor.java:674-717).
+
+    Co-occurrence gate (:697-709): the two parts of a combined point
+    must occur (nearly) equally often in the matching records —
+    ``min(present) ≥ (1 − distribution_variance) × max(present)`` (the
+    reference's ``remoteVotes / maxVotes ≥ 1 − dv``).  First+last-name
+    style splits always travel together; a pair whose concatenation
+    matches by coincidence on a sporadic fragment does not."""
     base = (
         paired.join(matching, on="lsn")
         .join(
             src_flat.where(F.col("src_field").isin(unmapped_src)), on="lsn"
         )
+    )
+    present = (
+        base.select("lsn", "src_field")
+        .distinct()
+        .groupBy("src_field")
+        .agg(F.count(F.lit(1)).alias("n_present"))
     )
     a = base.select("lsn", *KEY_COLUMNS, F.col("src_field").alias("f1"), F.col("src_value").alias("v1"))
     b = base.select("lsn", F.col("src_field").alias("f2"), F.col("src_value").alias("v2"))
@@ -635,9 +651,23 @@ def _combined_pass(
     hits = joined.select(
         "lsn", "f1", "f2", "tgt_column", score.alias("score")
     ).where(F.col("score") >= string_similarity)
-    votes = hits.groupBy("f1", "f2", "tgt_column").agg(
-        F.count(F.lit(1)).alias("votes"), F.max("score").alias("mx")
-    ).where(F.col("votes") >= n_matching * candidate_responses)
+    votes = (
+        hits.groupBy("f1", "f2", "tgt_column")
+        .agg(F.count(F.lit(1)).alias("votes"), F.max("score").alias("mx"))
+        .where(F.col("votes") >= n_matching * candidate_responses)
+        .join(
+            present.select(F.col("src_field").alias("f1"), F.col("n_present").alias("_n1")),
+            on="f1",
+        )
+        .join(
+            present.select(F.col("src_field").alias("f2"), F.col("n_present").alias("_n2")),
+            on="f2",
+        )
+        .where(
+            F.least("_n1", "_n2")
+            >= F.lit(1.0 - distribution_variance) * F.greatest("_n1", "_n2")
+        )
+    )
     w = Window.partitionBy("tgt_column").orderBy(
         F.desc("votes"), F.desc("mx"), F.asc("f1"), F.asc("f2")
     )
@@ -660,12 +690,32 @@ def _combined_pass(
 
 
 def _payload_get(field_name: str):
-    """payload[field] accessor; wildcard fields match any index ([*]→[i])."""
+    """payload[field] accessor; wildcard fields match any index ([*]→[i]).
+
+    Multi-value policy (declared): a ``[*]`` linkage point denotes the
+    whole array family (OutputManager.java:220-316 stores ``[*]`` paths);
+    when a record carries SEVERAL matching indexed entries, the
+    **lowest-indexed non-null entry wins** — entries are sorted by their
+    full numeric index vector (multi-digit-safe: [2] < [10]), then by
+    key.  Deterministic and independent of map entry order; nulls are
+    skipped so a sparse array still yields its first real value."""
     if "[*]" in field_name:
         pat = "^" + re.escape(field_name).replace(re.escape("[*]"), r"\[\d+\]") + "$"
-        return F.try_element_at(
-            F.map_values(F.map_filter("payload", lambda k, v: k.rlike(pat))), F.lit(1)
+        entries = F.map_entries(
+            F.map_filter("payload", lambda k, v: k.rlike(pat) & v.isNotNull())
         )
+        ranked = F.transform(
+            entries,
+            lambda e: F.struct(
+                F.transform(
+                    F.regexp_extract_all(e["key"], F.lit(r"\[(\d+)\]"), F.lit(1)),
+                    lambda s: s.cast("int"),
+                ).alias("idx"),
+                e["key"].alias("k"),
+                e["value"].alias("v"),
+            ),
+        )
+        return F.try_element_at(F.array_sort(ranked), F.lit(1))["v"]
     return F.try_element_at("payload", F.lit(field_name))
 
 

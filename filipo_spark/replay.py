@@ -39,6 +39,8 @@ class ReplayReport:
     epochs_skipped: int = 0
     events_seen: int = 0
     commits: list[CommitResult] = field(default_factory=list)
+    realigns: list[dict] = field(default_factory=list)
+    mapping: object = None  # final Mapping of a drifted replay
 
 
 def plan_epochs(lsn_min: int, lsn_max: int, batch_size: int) -> list[tuple[int, int]]:
@@ -88,6 +90,88 @@ def run_replay(
         if fail_after_data_write_on_epoch == epoch:
             _crash_mid_commit(spark, table, batch, epoch, lo, hi)
         res = table.apply_epoch(spark, batch, epoch, lo, hi)
+        report.commits.append(res)
+        report.epochs_applied += 1
+        if compact_every and report.epochs_applied % compact_every == 0:
+            table.compact(spark, min_files=compact_min_files, epoch=epoch)
+    return report
+
+
+def run_drifted_replay(
+    spark: SparkSession,
+    table: IceletTable,
+    drifted: DataFrame,
+    batch_size: int = 100_000,
+    epochs: list[tuple[int, int]] | None = None,
+    mapping=None,
+    drift_threshold: float | None = None,
+    health_sample: int = 1024,
+    align_kwargs: dict | None = None,
+    compact_every: int = 0,
+    compact_min_files: int = 8,
+) -> ReplayReport:
+    """Self-healing replay of a DRIFTED change stream (payload as
+    map<string,string> or raw JSON string) into ``table``.
+
+    Per epoch: observe mapping health on a bounded sample
+    (align/drift.py); when the unmapped-field or cast-failure ratio
+    exceeds ``drift_threshold`` — or no mapping exists yet — run
+    ``align()`` on that epoch's probe sample against the table's current
+    resolved state, hot-swap the mapping, and record the re-alignment
+    (offset range, observed ratios, mapping content hash) as a
+    ``realign:`` evolution event in the commit manifest.  The reference
+    analog is re-probing on every run (AlignmentProcessor.java:72-95);
+    here probing cost is paid only when the stream actually drifts.
+
+    ``epochs`` overrides LSN-range planning with explicit half-open
+    ``(lo, hi]`` ranges (Kafka-style offset assignment); otherwise
+    epochs are planned exactly like ``run_replay``.
+    """
+    from filipo_spark.align import align, apply_mapping
+    from filipo_spark.align.drift import (
+        DRIFT_THRESHOLD,
+        mapping_health,
+        realign_event,
+        should_realign,
+    )
+    from filipo_spark.schema import CHANGE_SCHEMA
+
+    threshold = DRIFT_THRESHOLD if drift_threshold is None else drift_threshold
+    align_kwargs = align_kwargs or {}
+    bounds = drifted.agg(
+        F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    report = ReplayReport(events_seen=bounds["n"] or 0, mapping=mapping)
+    if bounds["n"] == 0:
+        return report
+    ranges = epochs if epochs is not None else plan_epochs(
+        bounds["lo"], bounds["hi"], batch_size
+    )
+    committed = table.committed_ranges()
+    for epoch, (lo, hi) in enumerate(ranges):
+        if (lo, hi) in committed:
+            report.epochs_skipped += 1
+            continue
+        batch = drifted.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        health = None if mapping is None else mapping_health(batch, mapping, health_sample)
+        evo: list[str] = []
+        if (mapping is None and batch.limit(1).count() > 0) or (
+            health is not None and should_realign(health, threshold)
+        ):
+            mapping = align(batch, table.read_logical(spark), **align_kwargs)
+            evo = [realign_event(f"epoch={epoch}", lo, hi, health, mapping)] + list(
+                mapping.evolution_events
+            )
+            report.realigns.append(
+                {"epoch": epoch, "offset_lo": lo, "offset_hi": hi,
+                 "health": health, "event": evo[0]}
+            )
+            report.mapping = mapping
+        if mapping is None:  # empty batch before any mapping exists
+            typed = spark.createDataFrame([], CHANGE_SCHEMA)
+        else:
+            typed = apply_mapping(batch, mapping)
+        res = table.apply_epoch(spark, typed, epoch, lo, hi, evolution_events=evo)
         report.commits.append(res)
         report.epochs_applied += 1
         if compact_every and report.epochs_applied % compact_every == 0:

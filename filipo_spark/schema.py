@@ -68,6 +68,7 @@ DRIFTED_JSON_SCHEMA = T.StructType(
 # defaults from /root/reference/config.json:13-30) ----------------------------
 STRING_SIMILARITY = 0.5  # config.json:17 — per-value similarity gate
 RECORD_SIMILARITY = 0.1  # config.json:18 — matching-record gate
+DISTRIBUTION_VARIANCE = 0.0  # config.json — combined-point co-occurrence slack
 CANDIDATE_RESPONSES = 0.2  # config.json:21 — candidate response-rate gate
 ERROR_THRESHOLD = 0.5  # config.json:22 — modal degenerate-value gate
 FUNCTIONALITY_THRESHOLD = 0.996  # config.json:25 — identifier detection

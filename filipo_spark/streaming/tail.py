@@ -40,6 +40,10 @@ def tail_changelog(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     mapping=None,
+    auto_realign: bool = False,
+    drift_threshold: float | None = None,
+    health_sample: int = 1024,
+    align_kwargs: dict | None = None,
     compact_every: int = 0,
     compact_min_files: int = 8,
 ) -> dict:
@@ -47,7 +51,16 @@ def tail_changelog(
 
     ``available_now=True`` drains everything currently present and stops
     (the testable mode); pass False for a continuous micro-batch tail.
-    ``mapping`` (align.Mapping) re-types drifted payloads in-stream.
+    ``mapping`` (align.Mapping) re-types drifted payloads in-stream; the
+    projection is applied INSIDE foreachBatch so the mapping can be
+    hot-swapped mid-stream.  With ``auto_realign=True`` each micro-batch
+    is health-checked on a bounded sample (align/drift.py): when the
+    unmapped-field or cast-failure ratio crosses ``drift_threshold``,
+    ``align()`` re-learns the mapping from that batch's probe sample
+    against the table's current resolved state and the swap is recorded
+    as a ``realign:`` evolution event in the commit manifest — the
+    stream heals itself when the wire shape drifts (reference analog:
+    re-probing each run, AlignmentProcessor.java:72-95).
     ``compact_every=k`` folds over-fragmented buckets every k applied
     batches — the long-running-stream twin of replay's MoR maintenance
     (read amplification stays bounded while the tail runs for months).
@@ -67,18 +80,45 @@ def tail_changelog(
     if max_files_per_trigger:
         stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
     df = stream.parquet(source_dir)
-    if mapping is not None:
-        from filipo_spark.align import apply_mapping
 
-        df = apply_mapping(df, mapping)
-
-    stats = {"batches": 0, "skipped": 0}
+    stats = {"batches": 0, "skipped": 0, "realigns": 0, "mapping": mapping}
 
     def apply_fn(batch_df, batch_id: int) -> None:
+        # lsn passes through the mapping projection untouched, so bounds
+        # are computed ONCE on the raw batch (also the realign fence)
         bounds = batch_df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
         if bounds["lo"] is None:
             return
-        evo = [] if mapping is None else list(mapping.evolution_events)
+        m = stats["mapping"]
+        evo: list[str] = []
+        if m is not None:
+            if auto_realign:
+                from filipo_spark.align import align
+                from filipo_spark.align.drift import (
+                    DRIFT_THRESHOLD,
+                    mapping_health,
+                    realign_event,
+                    should_realign,
+                )
+
+                health = mapping_health(batch_df, m, health_sample)
+                thr = DRIFT_THRESHOLD if drift_threshold is None else drift_threshold
+                if should_realign(health, thr):
+                    m = align(
+                        batch_df, table.read_logical(spark), **(align_kwargs or {})
+                    )
+                    stats["mapping"] = m
+                    stats["realigns"] += 1
+                    evo = [
+                        realign_event(
+                            f"batch={int(batch_id)}",
+                            int(bounds["lo"]) - 1, int(bounds["hi"]), health, m,
+                        )
+                    ]
+            from filipo_spark.align import apply_mapping
+
+            batch_df = apply_mapping(batch_df, m)
+            evo = evo + list(m.evolution_events)
         res = table.apply_epoch(
             spark, batch_df, epoch=int(batch_id),
             offset_lo=int(bounds["lo"]) - 1, offset_hi=int(bounds["hi"]),

@@ -277,6 +277,66 @@ def test_align_target_access_is_bounded(spark, base, tmp_path):
     assert dbg["tgt_probe_rows"].count() <= 100
 
 
+def test_wildcard_multi_value_apply_lowest_index_wins(spark):
+    """Declared [*] apply policy (OutputManager.java:220-316): when a
+    record carries several entries of the wildcard family, the
+    lowest-indexed NON-NULL entry wins — numeric index order ([2] before
+    [10]), not map entry order, and nulls are skipped."""
+    from filipo_spark.align.mapper import Mapping, apply_mapping
+
+    rows = [
+        # [10] listed before [2] in the map — numeric order must win
+        (1, "U", {"cid": "c-1", "idx": "0", "msgs[10].text": "high", "msgs[2].text": "low"}),
+        (2, "U", {"cid": "c-1", "idx": "1", "msgs[3].text": "only"}),
+        (3, "U", {"cid": "c-1", "idx": "2", "msgs[0].text": None, "msgs[1].text": "first-real"}),
+        (4, "U", {"cid": "c-1", "idx": "3"}),  # no family entry → null
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, op string, payload map<string,string>"
+    )
+    mapping = Mapping(
+        key_fields={"conv_id": "cid", "turn_idx": "idx"},
+        columns=[{"tgt_column": "text", "src_field": "msgs[*].text",
+                  "metric": "Equal", "votes": 1, "support": 1.0, "confidence": 1.0}],
+    )
+    got = {
+        r["lsn"]: r["text"]
+        for r in apply_mapping(df, mapping).select("lsn", "text").collect()
+    }
+    assert got == {1: "low", 2: "only", 3: "first-real", 4: None}
+
+
+def test_combined_cooccurrence_gate(spark):
+    """Co-occurrence gate (AlignmentProcessor.java:697-709): a combined
+    point is accepted only when its two parts occur (near-)equally often
+    — min(present) ≥ (1−distribution_variance)·max(present).  Fixture:
+    f1 on all 20 matching records, f2 on 6; their concat equals the
+    target on those 6 (votes 6 ≥ 20×0.2 pass the vote gate), but the
+    0.3 presence ratio fails the default dv=0 gate and passes dv=0.75."""
+    from filipo_spark.align.mapper import _combined_pass
+
+    n = 20
+    paired = spark.createDataFrame(
+        [(i, f"c{i}", 0) for i in range(n)], "lsn long, conv_id string, turn_idx int"
+    )
+    matching = paired.select("lsn")
+    src_rows = [(i, "f1", f"A{i}") for i in range(n)] + [
+        (i, "f2", f"B{i}") for i in range(6)
+    ]
+    src_flat = spark.createDataFrame(
+        src_rows, "lsn long, src_field string, src_value string"
+    )
+    tgt_long = spark.createDataFrame(
+        [(f"c{i}", 0, "name", f"A{i}B{i}") for i in range(n)],
+        "conv_id string, turn_idx int, tgt_column string, tgt_value string",
+    )
+    args = (src_flat, tgt_long, paired, matching, ["name"], ["f1", "f2"], n, 0.5, 0.2)
+    assert _combined_pass(*args, distribution_variance=0.0) == []
+    loose = _combined_pass(*args, distribution_variance=0.75)
+    assert len(loose) == 1 and loose[0]["src_field"] == "f1+f2"
+    assert loose[0]["votes"] == 6
+
+
 def test_apply_mapping_schema(spark, base):
     target, echo, changes = base
     out = apply_mapping(
