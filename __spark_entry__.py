@@ -463,6 +463,38 @@ def q_support_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_icelet_sql_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2×S8 through the SQL surface: replay the events changelog into an
+    Icelet table in TWO epochs, then time-travel to the snapshot after
+    epoch 1 via register_icelet(snapshot_id=...) and SELECT through
+    spark.sql — hard-signal verification that snapshots are immutable
+    mid-lineage states (the Iceberg VERSION AS OF analog;
+    QueryProcessor.java:16-36 catalog dispatch)."""
+    import tempfile
+
+    from filipo_spark.replay import run_replay
+    from filipo_spark.sources import changes_from_events, register_icelet
+    from filipo_spark.table.icelet import IceletTable
+
+    _utc(spark)
+    ch = changes_from_events(spark, sf_dir)
+    b = ch.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+    batch = (int(b["hi"]) - int(b["lo"]) + 2) // 2  # ceil(span/2) → 2 epochs
+    table = IceletTable.create(tempfile.mkdtemp(prefix="icelet-sql-"), n_buckets=8)
+    run_replay(spark, table, ch, batch_size=batch)
+    snap1 = next(
+        m["snapshot_id"] for m in table.manifest() if m.get("kind") == "append"
+    )
+    register_icelet(spark, table.root, "transcripts_snap1", snapshot_id=snap1)
+    return spark.sql(
+        """
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM transcripts_snap1
+        ORDER BY conv_id, turn_idx
+        """
+    )
+
+
 def q_drift_auto_realign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-healing CDC (St-family × FiLiPo core): a drifted change
     stream whose wire shape FLIPS mid-replay (rename → nested paths) is
@@ -573,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "support_confidence": q_support_confidence,
         "schema_evolution_mapping": q_schema_evolution_mapping,
         "drift_auto_realign": q_drift_auto_realign,
+        "icelet_sql_snapshot": q_icelet_sql_snapshot,
     }
 
 
@@ -1005,6 +1038,17 @@ SELECT field, value,
 FROM per_pair, stats s
 WHERE (CAST(n_match AS DOUBLE) / n_all) > CAST(s.n_valid AS DOUBLE) / s.n_total
 ORDER BY confidence DESC, field, value""",
+        "icelet_sql_snapshot": f"""
+WITH ch AS ({_CHANGES_SQL}),
+b AS (SELECT min(lsn) - 1 + CAST(ceil((max(lsn) - min(lsn) + 1) / 2.0) AS BIGINT) AS hi1
+      FROM ch),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch WHERE lsn <= (SELECT hi1 FROM b))
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx""",
         "drift_auto_realign": f"""
 WITH ch AS ({_CHANGES_SQL}),
 ranked AS (

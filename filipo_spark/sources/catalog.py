@@ -28,8 +28,12 @@ def register_tables(
     return names
 
 
-def register_icelet(spark: SparkSession, root: str, view: str) -> None:
-    """Register an Icelet table's resolved logical state as a view."""
+def register_icelet(
+    spark: SparkSession, root: str, view: str, snapshot_id: str | None = None
+) -> None:
+    """Register an Icelet table's resolved logical state as a view;
+    ``snapshot_id`` time-travels to any snapshot on the current lineage
+    (immutable file lists — the Iceberg ``VERSION AS OF`` analog)."""
     from filipo_spark.table.icelet import IceletTable
 
-    IceletTable.load(root).read_logical(spark).createOrReplaceTempView(view)
+    IceletTable.load(root).read_logical(spark, snapshot_id=snapshot_id).createOrReplaceTempView(view)

@@ -232,10 +232,12 @@ class IceletTable:
         """Resolved physical state: one row per key (LWW fold over raw)."""
         return lww_resolve(self.read_raw(spark, buckets, snapshot_id))
 
-    def read_logical(self, spark: SparkSession) -> DataFrame:
+    def read_logical(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
         from filipo_spark.operators.merge import logical
 
-        return logical(self.read(spark))
+        return logical(self.read(spark, snapshot_id=snapshot_id))
 
     # --- write ---------------------------------------------------------
     def bootstrap(self, target: DataFrame, epoch: int = 0) -> CommitResult:
