@@ -36,6 +36,12 @@ def register_classifier(name: str, predict_batch: PredictBatch) -> None:
 def resolve_classifier(ref: "str | PredictBatch") -> PredictBatch:
     if callable(ref):
         return ref
+    if ref == "default" and "default" not in _CLASSIFIERS:
+        # the shipped pure-numpy logistic (GbClassifier.java:12-26 analog)
+        # — lazy so batch runs that never align pay nothing
+        from filipo_spark.functions.default_classifier import predict_batch
+
+        _CLASSIFIERS["default"] = predict_batch
     try:
         return _CLASSIFIERS[ref]
     except KeyError:

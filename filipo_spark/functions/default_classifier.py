@@ -1,0 +1,137 @@
+"""Default trained identifier-equality classifier (X2's shipped model).
+
+The reference ships a working gradient-boosted classifier as its default
+(``Similarity/Classifier/GbClassifier.java:12-26``, selected by
+``config.json`` ``"classifier": "gbc"``); the engine ships this
+pure-numpy logistic model so the X2 seam is usable out of the box:
+
+* **features** (vectorized per Arrow batch): alnum-canonical equality,
+  token containment (the shorter side's alnum tokens all appear in the
+  longer side's), char-3-gram Jaccard of the canonical forms, length
+  ratio;
+* **training**: deterministic synthetic identifier pairs built from a
+  fixed vocabulary — positives are decorated copies (case flips, dash /
+  space mangling, ``prefix::id::suffix`` wrapping), negatives are
+  distinct ids, fragments, and decorated *other* ids — fit by plain
+  gradient descent with a fixed seed, so every import learns byte-equal
+  weights (run ``python -m filipo_spark.functions.default_classifier``
+  to reprint them and the held-out accuracy);
+* **contract**: ``predict_batch(pd.Series, pd.Series) -> pd.Series[bool]``,
+  the same seam any user model plugs into (functions/classifier.py);
+  resolves under the name ``"default"``.
+
+What it adds over the RegExer ruleset: the ruleset is a fixed char-strip
+/ case-fold grammar (config.json ruleset — isbn-issn, insensitive-uri);
+the model also learns *structural* equality like wrapped identifiers
+(``id::tool::search::v2::x`` ≡ ``search``) that no strip rule or fuzzy
+metric reaches.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+_ALNUM = re.compile(r"[^a-z0-9]+")
+_VOCAB = (
+    "search python browser calculator none lookup fetch render parse "
+    "merge upsert replay stream commit snapshot manifest bucket probe "
+    "align vote metric sample window token shard fence epoch lineage"
+).split()
+
+
+def _canon(s: str) -> str:
+    return _ALNUM.sub("", s.lower())
+
+
+def _tokens(s: str) -> set[str]:
+    return {t for t in _ALNUM.split(s.lower()) if t}
+
+
+def _grams(s: str, n: int = 3) -> set[str]:
+    c = _canon(s)
+    return {c[i : i + n] for i in range(max(len(c) - n + 1, 1))}
+
+
+def featurize(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """(n, 5) design matrix incl. bias — plain python per pair inside the
+    Arrow batch (featurizer cost, same shape as any kernel)."""
+    rows = np.empty((len(a), 5))
+    for i, (x, y) in enumerate(zip(a.astype(str), b.astype(str))):
+        cx, cy = _canon(x), _canon(y)
+        tx, ty = _tokens(x), _tokens(y)
+        small, big = (tx, ty) if len(cx) <= len(cy) else (ty, tx)
+        gx, gy = _grams(x), _grams(y)
+        rows[i] = (
+            1.0 if cx == cy and cx else 0.0,
+            1.0 if small and small <= big else 0.0,
+            len(gx & gy) / max(len(gx | gy), 1),
+            min(len(cx), len(cy)) / max(len(cx), len(cy), 1),
+            1.0,
+        )
+    return rows
+
+
+def _training_pairs() -> tuple[list[tuple[str, str]], list[int]]:
+    rng = np.random.RandomState(7)
+    pairs: list[tuple[str, str]] = []
+    labels: list[int] = []
+
+    def dashed(s: str) -> str:
+        return "--".join(s)
+
+    def spaced(s: str) -> str:
+        return " ".join(s).upper()
+
+    def wrapped(s: str) -> str:
+        p, q = rng.choice(_VOCAB), rng.choice(_VOCAB)
+        return f"{p}::{s}::{q}::v{rng.randint(1, 9)}"
+
+    for s in _VOCAB:
+        others = [t for t in _VOCAB if t != s]
+        t = others[rng.randint(len(others))]
+        # positives: the id survives decoration
+        for pos in (s, s.upper(), dashed(s), spaced(s), wrapped(s), f"  {s} "):
+            pairs.append((s, pos))
+            labels.append(1)
+        # negatives: different ids, fragments, decorated OTHER ids
+        for neg in (t, t.upper(), dashed(t), wrapped(t), s[: max(len(s) // 2, 2)], s + t):
+            pairs.append((s, neg))
+            labels.append(0)
+    return pairs, labels
+
+
+@lru_cache(maxsize=1)
+def _weights() -> np.ndarray:
+    pairs, labels = _training_pairs()
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    x, y = featurize(a, b), np.array(labels, dtype=float)
+    w = np.zeros(x.shape[1])
+    for _ in range(400):  # fixed-step GD: deterministic, converges easily here
+        p = 1.0 / (1.0 + np.exp(-x @ w))
+        w -= 0.5 * (x.T @ (p - y)) / len(y)
+    return w
+
+
+def predict_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """The X2 seam contract: per-pair learned equality (bool)."""
+    p = 1.0 / (1.0 + np.exp(-featurize(a, b) @ _weights()))
+    return pd.Series(p >= 0.5, index=a.index)
+
+
+def _self_report() -> dict:
+    pairs, labels = _training_pairs()
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    acc = float((predict_batch(a, b).to_numpy() == np.array(labels, bool)).mean())
+    return {"weights": [round(float(w), 4) for w in _weights()], "train_accuracy": acc}
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(_self_report()))

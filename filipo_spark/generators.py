@@ -317,6 +317,25 @@ def gen_drifted(changes: DataFrame, profile: str = "rename") -> DataFrame:
             ("tool_name", dashed),
             ("event_time", iso_ts),
         ]
+    elif profile == "wrapped":
+        # tool ids arrive wrapped in a stable envelope
+        # ("id::tool::search::v2::x"): every fuzzy metric scores < 0.5
+        # (the envelope is longer than the id) and no strip rule of the
+        # RegExer ruleset recovers it — only a LEARNED structural
+        # equality (token containment) can: the default X2 classifier's
+        # fixture (GbClassifier.java:12-26)
+        wrapped_tool = F.when(
+            F.col("tool").isNotNull(),
+            F.concat(F.lit("id::tool::"), F.col("tool"), F.lit("::v2::x")),
+        )
+        entries = [
+            ("conversation_id", F.col("conv_id")),
+            ("turnIndex", F.col("turn_idx").cast("string")),
+            ("role", F.col("role")),
+            ("content", F.col("text")),
+            ("tool_name", wrapped_tool),
+            ("event_time", iso_ts),
+        ]
     elif profile == "errorpage":
         # rename + degenerate response fields (the reference's modal
         # "error page" analog, AlignmentProcessor.java:251-310): `status`

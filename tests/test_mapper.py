@@ -209,6 +209,22 @@ def test_classifier_seam_decides_mapping(spark, base):
     assert tool_row["metric"] == "Classifier"
 
 
+def test_default_classifier_decides_mapping(spark, base):
+    """X2 default model (GbClassifier.java:12-26 analog): the SHIPPED
+    pure-numpy logistic recovers an envelope-wrapped tool id
+    ("id::tool::search::v2::x") that every fuzzy metric scores < 0.5 and
+    the full RegExer ruleset misses (no strip rule removes the envelope)
+    — classifier="default" needs no user registration."""
+    target, echo, _changes = base
+    # with the default ruleset ON but no classifier: tool stays unmapped
+    bare = align(gen_drifted(echo, "wrapped"), target)
+    assert "tool" not in bare.as_dict()
+    mapping = align(gen_drifted(echo, "wrapped"), target, classifier="default")
+    assert mapping.as_dict() == GROUND_TRUTH["rename"]
+    tool_row = [r for r in mapping.columns if r["tgt_column"] == "tool"][0]
+    assert tool_row["metric"] == "Classifier"
+
+
 def test_evaluation_mode_dump(spark, base, tmp_path):
     """S6 (AlignmentProcessor.java:207-237 evaluation mode): up to k
     matched (probe record, target row) pairs land as a header'd CSV."""
