@@ -40,6 +40,27 @@ N_EVENTS = int(os.environ.get("FILIPO_BENCH_EVENTS", "4000000"))
 N_CONV = int(os.environ.get("FILIPO_BENCH_CONV", "50000"))
 
 
+def _code_version() -> str:
+    """Content hash of the measured path: scaling samples merge across
+    bench runs ONLY while this code is byte-identical (VERDICT r2: the
+    best-of sidecar must measure current code, not a past round's)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in (
+        "bench.py",
+        "filipo_spark/replay.py",
+        "filipo_spark/table/icelet.py",
+        "filipo_spark/operators/merge.py",
+        "filipo_spark/operators/dedup.py",
+        "filipo_spark/generators.py",
+        "filipo_spark/session.py",
+    ):
+        with open(os.path.join(REPO, p), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -173,11 +194,16 @@ def _merge_best_scaling(result: dict, sidecar: str = "scaling.json") -> dict:
 
     path = os.path.join(REPO, "BENCH", sidecar)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    best = result
+    best = dict(result, code=_code_version())
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        if prev.get("n_cpus") == result["n_cpus"] and prev.get("events") == result["events"]:
+        same_shape = (
+            prev.get("n_cpus") == result["n_cpus"]
+            and prev.get("events") == result["events"]
+        )
+        if same_shape and prev.get("code") == best["code"]:
+            # measured code unchanged since the stored samples → merge
             merged = dict(prev)
             merged["runs_n"] = prev["runs_n"] + result["runs_n"]
             merged["runs_4n"] = prev["runs_4n"] + result["runs_4n"]
@@ -189,6 +215,21 @@ def _merge_best_scaling(result: dict, sidecar: str = "scaling.json") -> dict:
                 (hi / lo) / (merged["4n_cpus"] / merged["n_cpus"]), 3
             )
             best = merged
+        elif same_shape:
+            # measured code CHANGED: archive the old samples (disclosed,
+            # never mixed into current statistics) and start fresh
+            best["archived"] = prev.get("archived", []) + [
+                {
+                    k: prev[k]
+                    for k in (
+                        "code", "efficiency", "efficiency_median",
+                        "events_per_sec_n", "events_per_sec_4n",
+                        "median_n", "median_4n",
+                    )
+                    if k in prev
+                }
+                | {"n_runs": len(prev.get("runs_n", []))}
+            ]
     med_n = statistics.median(best["runs_n"])
     med_4n = statistics.median(best["runs_4n"])
     best["median_n"] = round(med_n)
@@ -235,12 +276,14 @@ def _merge_best_headline(headline: dict) -> dict:
         "seconds": round(headline["seconds"], 3),
         "events": headline["events"],
         "epochs": headline["epochs"],
+        "code": _code_version(),
     }
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
         if (
             prev.get("events") == best["events"]
+            and prev.get("code") == best["code"]  # same measured code only
             and prev.get("events_per_sec", 0) > best["events_per_sec"]
         ):
             best = prev
@@ -268,7 +311,10 @@ def write_baseline_md(scaling: dict, headline: dict, sf: float) -> None:
             "steal, which is strictly additive slowdown, so the fastest run "
             "estimates uncontended hardware. Levels above ~8 vCPUs measure "
             "host oversubscription, not the engine (verified: a pure-JVM md5 "
-            "probe stops scaling at 16 of the advertised 32 vCPUs).\n\n"
+            "probe stops scaling at 16 of the advertised 32 vCPUs). Samples "
+            "accumulate across bench runs ONLY while the measured code path "
+            "is byte-identical (content-hash versioned sidecars; prior-code "
+            "samples are archived, never mixed into current statistics).\n\n"
             "| parallelism (pinned) | events/sec (best) | events/sec (median) |\n|---|---|---|\n"
             f"| {scaling['n_cpus']} CPU (N) | {scaling['events_per_sec_n']:,} | {scaling['median_n']:,} |\n"
             f"| {scaling['4n_cpus']} CPUs (4N) | {scaling['events_per_sec_4n']:,} | {scaling['median_4n']:,} |\n\n"
@@ -341,6 +387,11 @@ def main() -> None:
     t0 = time.perf_counter()
     qmap["schema_evolution_mapping"](spark, SF_DIR).count()
     queries["align_sec"] = round(time.perf_counter() - t0, 3)
+    # the self-healing loop end-to-end: bootstrap + two drifted epochs
+    # with a mid-stream shape flip → health check, re-align, LWW apply
+    t0 = time.perf_counter()
+    qmap["drift_auto_realign"](spark, SF_DIR).count()
+    queries["drift_realign_sec"] = round(time.perf_counter() - t0, 3)
 
     scaling = None
     if not args.no_scaling:

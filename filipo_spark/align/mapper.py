@@ -166,6 +166,12 @@ def _distinct_overlap(src_flat: DataFrame, tgt_long: DataFrame) -> DataFrame:
     column-pruned by the caller (key columns only)."""
     s = src_flat.select("src_field", F.col("src_value").alias("v")).distinct()
     totals = s.groupBy("src_field").agg(F.count(F.lit(1)).alias("n_src"))
+    # NOTE scale shape of the hit-set distinct: a HOT probe value (e.g. a
+    # turn_idx like "3" appearing in ~every conversation) matches O(n)
+    # target rows in the broadcast join, but partial (map-side)
+    # aggregation collapses each partition's duplicates to ≤ |probe
+    # values| rows before the exchange — the shuffled distinct input is
+    # bounded by partitions × probe-set size, never by target rows.
     hits = (
         tgt_long.select("tgt_column", F.col("tgt_value").alias("v"))
         .join(F.broadcast(s), on="v")
@@ -245,10 +251,30 @@ def align(
 
         payload_schema = infer_json_schema(drifted, "payload")
         drifted = normalize_payload(drifted, json_schema=payload_schema)
-    sample = drifted.where(F.col("op") != "D").orderBy(
-        F.md5(F.col("lsn").cast("string"))
-    ).limit(n_probe * 5)
-    src_flat_base = flatten_payload(sample).cache()
+    # list-response removal (AlignmentProcessor.java:312-340): a record
+    # whose payload IS one top-level array spanning >1 index ("the API
+    # answered with a list of entities") mixes several rows' values in
+    # one record and would pollute pairing/votes — flagged and dropped
+    # before flattening.  The flag rides the (cached) bounded sample, so
+    # the O(stream) sample scan still runs ONCE; single-entity arrays
+    # (tools[0].*) and object payloads pass untouched.
+    _keys = F.map_keys("payload")
+    _is_list = (
+        F.forall(_keys, lambda k: k.rlike(r"^[^.\[\]]*\[\d+\]"))
+        & (F.size(F.array_distinct(F.transform(
+            _keys, lambda k: F.regexp_extract(k, r"^([^.\[\]]*)\[", 1)))) == 1)
+        & (F.size(F.array_distinct(F.transform(
+            _keys, lambda k: F.regexp_extract(k, r"^[^.\[\]]*\[(\d+)\]", 1)))) >= 2)
+    )
+    sample = (
+        drifted.where(F.col("op") != "D")
+        .orderBy(F.md5(F.col("lsn").cast("string")))
+        .limit(n_probe * 5)
+        .withColumn("_is_list", _is_list)
+        .cache()
+    )
+    n_list = sample.where("_is_list").count()
+    src_flat_base = flatten_payload(sample.where(~F.col("_is_list"))).cache()
     src_flat = src_flat_base
     tgt_long = None
     paired = None
@@ -275,7 +301,7 @@ def align(
             )
             .collect()
         )
-        prune_events = [
+        prune_events = ([f"prune:list_responses(n={n_list})"] if n_list else []) + [
             f"prune:{r['src_field']}(modal={r['modal']},ratio={r['ratio']})"
             for r in sorted(deg_rows, key=lambda r: r["src_field"])
         ]
@@ -564,6 +590,7 @@ def align(
             payload_json_schema=payload_schema.json() if payload_schema else None,
         )
     finally:
+        sample.unpersist()
         src_flat_base.unpersist()
         if tgt_long is not None:
             tgt_long.unpersist()

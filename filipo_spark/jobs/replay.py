@@ -27,6 +27,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--mode", choices=["mor", "cow"], default="mor")
     ap.add_argument("--bootstrap", help="optional parquet of initial logical target rows")
     ap.add_argument("--mapping", help="optional mapping.json to re-type a drifted source")
+    ap.add_argument("--auto-realign", action="store_true",
+                    help="treat --source as a DRIFTED stream (payload map / raw "
+                         "JSON): per-epoch mapping-health check, in-loop "
+                         "re-alignment against the table's resolved state, "
+                         "realign events fenced in the manifest (align/drift.py). "
+                         "--mapping seeds the initial mapping; omitted → learned "
+                         "from the first epoch")
+    ap.add_argument("--drift-threshold", type=float, default=None,
+                    help="unmapped/cast-failure ratio that triggers re-alignment")
     ap.add_argument("--compact-every", type=int, default=0,
                     help="run delta compaction after every N epochs (0 = never)")
     ap.add_argument("--cpus", type=int, default=0, help="local[N] cores (0 = local[*])")
@@ -45,16 +54,32 @@ def main(argv: list[str] | None = None) -> None:
             table.bootstrap(spark.read.parquet(args.bootstrap))
 
     source = spark.read.parquet(args.source)
-    if args.mapping:
-        from filipo_spark.align import Mapping, apply_mapping
+    if args.auto_realign:
+        from filipo_spark.align import Mapping
+        from filipo_spark.replay import run_drifted_replay
 
-        with open(args.mapping) as f:
-            source = apply_mapping(source, Mapping.from_json(f.read()))
+        mapping = None
+        if args.mapping:
+            with open(args.mapping) as f:
+                mapping = Mapping.from_json(f.read())
+        report = run_drifted_replay(
+            spark, table, source, batch_size=args.batch_size,
+            mapping=mapping, drift_threshold=args.drift_threshold,
+            compact_every=args.compact_every,
+        )
+        if args.mapping and report.mapping is not None:
+            with open(args.mapping + ".current", "w") as f:
+                f.write(report.mapping.to_json())
+    else:
+        if args.mapping:
+            from filipo_spark.align import Mapping, apply_mapping
 
-    report = run_replay(
-        spark, table, source, batch_size=args.batch_size,
-        compact_every=args.compact_every,
-    )
+            with open(args.mapping) as f:
+                source = apply_mapping(source, Mapping.from_json(f.read()))
+        report = run_replay(
+            spark, table, source, batch_size=args.batch_size,
+            compact_every=args.compact_every,
+        )
     if args.compact_every:
         # final fold so a run never ends on an over-fragmented table
         table.compact(spark, min_files=2)
@@ -65,6 +90,7 @@ def main(argv: list[str] | None = None) -> None:
         "epochs_applied": report.epochs_applied,
         "epochs_skipped": report.epochs_skipped,
         "events_seen": report.events_seen,
+        **({"realigns": report.realigns} if args.auto_realign else {}),
         **replay_metrics(table),
     }
     json.dump(out, sys.stdout)

@@ -23,6 +23,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="keep tailing (default: drain available data and stop)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--mapping", help="optional mapping.json for a drifted source")
+    ap.add_argument("--auto-realign", action="store_true",
+                    help="per-batch mapping-health check; re-align and hot-swap "
+                         "the mapping when the stream's wire shape drifts "
+                         "(align/drift.py; realign events fenced in the manifest)")
+    ap.add_argument("--drift-threshold", type=float, default=None,
+                    help="unmapped/cast-failure ratio that triggers re-alignment")
     ap.add_argument("--compact-every", type=int, default=0,
                     help="fold over-fragmented buckets every N applied batches")
     ap.add_argument("--cpus", type=int, default=0)
@@ -50,10 +56,17 @@ def main(argv: list[str] | None = None) -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.continuous,
         mapping=mapping,
+        auto_realign=args.auto_realign,
+        drift_threshold=args.drift_threshold,
         compact_every=args.compact_every,
     )
     if args.continuous:
         stats.pop("query").awaitTermination()
+    final_mapping = stats.pop("mapping", None)
+    if args.auto_realign and args.mapping and final_mapping is not None:
+        # persist the (possibly re-learned) function store next to the input
+        with open(args.mapping + ".current", "w") as f:
+            f.write(final_mapping.to_json())
     from filipo_spark.metrics import replay_metrics
 
     json.dump({**stats, **replay_metrics(table)}, sys.stdout)

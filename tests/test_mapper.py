@@ -209,6 +209,49 @@ def test_classifier_seam_decides_mapping(spark, base):
     assert tool_row["metric"] == "Classifier"
 
 
+def test_list_responses_removed_from_probe(spark, base):
+    """List-answer removal (AlignmentProcessor.java:312-340): a probe
+    record whose payload is ONE top-level array spanning several indices
+    ("the API answered with a list of entities") mixes two rows' values
+    and is dropped before flattening — recorded as a prune event; the
+    mapping is unaffected.  Single-entity arrays (tools[0].*) pass: the
+    nested-profile golden above covers that."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    target, echo, _changes = base
+    normal = gen_drifted(echo, "rename")
+
+    def rekey(col, i):
+        return F.map_from_entries(
+            F.transform(
+                F.map_entries(col),
+                lambda e: F.struct(
+                    F.concat(F.lit(f"results[{i}]."), e["key"]), e["value"]
+                ),
+            )
+        )
+
+    w = Window.orderBy("lsn")
+    rn = normal.withColumn("rn", F.row_number().over(w))
+    pairs = rn.alias("a").join(
+        rn.withColumn("rn", F.col("rn") - 1).alias("b"), on="rn"
+    )
+    listy = pairs.select(
+        (F.col("a.lsn") + F.lit(10**9)).alias("lsn"),
+        F.lit("U").alias("op"),
+        F.map_concat(
+            rekey(F.col("a.payload"), 0), rekey(F.col("b.payload"), 1)
+        ).alias("payload"),
+    ).limit(60)
+    mapping = align(normal.unionByName(listy), target)
+    assert mapping.as_dict() == GROUND_TRUTH["rename"]
+    list_events = [
+        e for e in mapping.evolution_events if e.startswith("prune:list_responses")
+    ]
+    assert len(list_events) == 1, mapping.evolution_events
+
+
 def test_default_classifier_decides_mapping(spark, base):
     """X2 default model (GbClassifier.java:12-26 analog): the SHIPPED
     pure-numpy logistic recovers an envelope-wrapped tool id
