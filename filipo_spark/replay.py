@@ -63,22 +63,30 @@ def run_replay(
     fail_after_data_write_on_epoch: int | None = None,
     compact_every: int = 0,
     compact_min_files: int = 8,
+    bounds: tuple[int, int, int] | None = None,
 ) -> ReplayReport:
     """Replay ``source`` (CHANGE_SCHEMA) into ``table`` in LSN-ordered epochs.
 
     ``compact_every=k`` folds over-fragmented buckets every k applied
     epochs (MoR maintenance — bounds read amplification during long
-    replays).  ``fail_after_data_write_on_epoch`` is a test hook
-    simulating a crash after data files land but before the commit
-    pointer swaps (the dangerous window of any two-phase commit).
+    replays).  ``bounds=(lsn_min, lsn_max, n_events)`` skips the
+    planning aggregation when the caller already knows the log extent
+    (a CDC coordinator reading a binlog/Kafka source always does — the
+    broker hands it the offset range; re-scanning the log to rediscover
+    it is a wasted job per replay).  ``fail_after_data_write_on_epoch``
+    is a test hook simulating a crash after data files land but before
+    the commit pointer swaps (the dangerous window of any two-phase
+    commit).
     """
-    bounds = source.agg(
-        F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
-    ).collect()[0]
-    report = ReplayReport(events_seen=bounds["n"] or 0)
-    if bounds["n"] == 0:
+    if bounds is None:
+        row = source.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        bounds = (row["lo"], row["hi"], row["n"])
+    report = ReplayReport(events_seen=bounds[2] or 0)
+    if not bounds[2]:
         return report
-    ranges = plan_epochs(bounds["lo"], bounds["hi"], batch_size)
+    ranges = plan_epochs(bounds[0], bounds[1], batch_size)
     committed = table.committed_ranges()
     for epoch, (lo, hi) in enumerate(ranges):
         if max_epochs is not None and epoch >= max_epochs:
@@ -109,6 +117,7 @@ def run_drifted_replay(
     align_kwargs: dict | None = None,
     compact_every: int = 0,
     compact_min_files: int = 8,
+    bounds: tuple[int, int, int] | None = None,
 ) -> ReplayReport:
     """Self-healing replay of a DRIFTED change stream (payload as
     map<string,string> or raw JSON string) into ``table``.
@@ -138,14 +147,16 @@ def run_drifted_replay(
 
     threshold = DRIFT_THRESHOLD if drift_threshold is None else drift_threshold
     align_kwargs = align_kwargs or {}
-    bounds = drifted.agg(
-        F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
-    ).collect()[0]
-    report = ReplayReport(events_seen=bounds["n"] or 0, mapping=mapping)
-    if bounds["n"] == 0:
+    if bounds is None:
+        row = drifted.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        bounds = (row["lo"], row["hi"], row["n"])
+    report = ReplayReport(events_seen=bounds[2] or 0, mapping=mapping)
+    if not bounds[2]:
         return report
     ranges = epochs if epochs is not None else plan_epochs(
-        bounds["lo"], bounds["hi"], batch_size
+        bounds[0], bounds[1], batch_size
     )
     committed = table.committed_ranges()
     for epoch, (lo, hi) in enumerate(ranges):
