@@ -565,6 +565,38 @@ def q_schema_evolution_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tgt_column")
 
 
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed (table/changes.py): replay the events
+    changelog into an Icelet table in FOUR epochs, then read the NET
+    changes between the snapshot after epoch 1 and the snapshot after
+    epoch 3 — exactly the LWW winners of that lsn window, deletes
+    included as op='D'.  Under merge-on-read the delta files added
+    between two append snapshots ARE that window's change log, so the
+    feed costs O(changes), never O(table) — the Delta/Iceberg CDF shape
+    FiLiPo's rescan-everything function store can't answer
+    (OutputManager.java:65-70)."""
+    import tempfile
+
+    from filipo_spark.replay import run_replay
+    from filipo_spark.sources import changes_from_events
+    from filipo_spark.table.changes import changes_between
+    from filipo_spark.table.icelet import IceletTable
+
+    _utc(spark)
+    ch = changes_from_events(spark, sf_dir)
+    b = ch.agg(
+        F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    lo, hi, n = int(b["lo"]), int(b["hi"]), int(b["n"])
+    table = IceletTable.create(tempfile.mkdtemp(prefix="icelet-feed-"), n_buckets=8)
+    run_replay(spark, table, ch, batch_size=(hi - lo) // 4 + 1, bounds=(lo, hi, n))
+    appends = [m for m in table.manifest() if m["kind"] == "append"]
+    feed = changes_between(
+        spark, table, appends[0]["snapshot_id"], appends[2]["snapshot_id"]
+    )
+    return feed.orderBy("conv_id", "turn_idx")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -606,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_mapping": q_schema_evolution_mapping,
         "drift_auto_realign": q_drift_auto_realign,
         "icelet_sql_snapshot": q_icelet_sql_snapshot,
+        "cdc_change_feed": q_cdc_change_feed,
     }
 
 
@@ -1048,6 +1081,27 @@ ranked AS (
   FROM ch WHERE lsn <= (SELECT hi1 FROM b))
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx""",
+        # change feed = LWW winners of the lsn window covered by replay
+        # epochs 2-3 (plan_epochs parity: lo0 = min-1, bs = floor(span/4)+1,
+        # window (lo0+bs, least(lo0+3*bs, max)]); deletes kept as op='D'
+        "cdc_change_feed": f"""
+WITH ch AS ({_CHANGES_SQL}),
+p AS (SELECT min(lsn) - 1 AS lo0,
+             CAST(floor((max(lsn) - min(lsn)) / 4.0) AS BIGINT) + 1 AS bs,
+             max(lsn) AS hi
+      FROM ch),
+win AS (
+  SELECT ch.* FROM ch, p
+  WHERE ch.lsn > p.lo0 + p.bs AND ch.lsn <= least(p.lo0 + 3 * p.bs, p.hi)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM win)
+SELECT conv_id, turn_idx,
+       CASE WHEN op = 'D' THEN 'D' ELSE 'U' END AS op,
+       lsn, role, text, tool, ts
+FROM ranked WHERE rn = 1
 ORDER BY conv_id, turn_idx""",
         "drift_auto_realign": f"""
 WITH ch AS ({_CHANGES_SQL}),

@@ -112,8 +112,11 @@ def worker_main(cpus: int, events: int, epochs: int = 4, samples: int = 1) -> No
     from filipo_spark.session import get_spark
 
     spark = get_spark(f"bench-worker-{cpus}", cores=cpus, shuffle_partitions=cpus)
-    # warm the JVM/codegen so the measured run is steady-state
-    replay_workload(spark, n_events=100_000, n_conv=2_000, epochs=1)
+    # warm the JVM/codegen so the measured run is steady-state.  1M
+    # events, not a token batch: C2 keeps recompiling the generated
+    # whole-stage/sort code well past the first small run, and a cold
+    # first sample was measured 25-30% slower than steady state
+    replay_workload(spark, n_events=1_000_000, n_conv=20_000, epochs=1)
     for _ in range(samples):
         res = replay_workload(spark, n_events=events, n_conv=N_CONV, epochs=epochs)
         print("WORKER_RESULT " + json.dumps(res), flush=True)

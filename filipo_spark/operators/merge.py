@@ -93,13 +93,31 @@ def lww_resolve(
     Both are functions of the key, so the partitioning clusters keys;
     grouping includes them so Catalyst adds NO second exchange, and the
     output is ready for a partitionBy write — one payload shuffle per
-    epoch total.  The salt (the north_star's "salted hash-partitioned
-    key grouping") exists because hashing only ~n_buckets distinct
-    bucket values into n_buckets partitions leaves ~1/e of them empty
-    and others double-loaded — straggler waves; key-hash salting makes
-    the n_buckets × salt_factor partitions uniform.  ``salt_factor`` is
-    table metadata (fixed at create), so file layout is replay-
-    deterministic regardless of cluster size."""
+    epoch total, and exactly ``salt_factor`` files per touched bucket.
+    That alignment has a disclosed price: raw rows cross the exchange
+    (``max_by``'s struct buffer is not HashAggregate-mutable, so Spark
+    plans Sort→SortAggregate on the reduce side with both partial and
+    final passes post-shuffle — no map-side combine on THIS path; the
+    unbucketed branch above does get the usual partial/final split
+    around its exchange).  Skew is therefore absorbed by the salt, not
+    by combining: hashing only ~n_buckets distinct bucket values into
+    n_buckets partitions leaves ~1/e of them empty and others
+    double-loaded — straggler waves; key-hash salting makes the
+    n_buckets × salt_factor partitions uniform (the north_star's
+    "salted hash-partitioned key grouping").  ``salt_factor`` is table
+    metadata (fixed at create), so file layout is replay-deterministic
+    regardless of cluster size.
+
+    ``_kh`` (xxhash64 of the key) leads the grouping columns purely for
+    sort economics: SortAggregate orders by the grouping columns as
+    declared, and UnsafeExternalSorter compares 8-byte prefixes first.
+    With low-cardinality ``(_bucket, _salt)`` in front, nearly every
+    comparison fell through the prefix and dereferenced row pages
+    (random access — the measured memory-stall term at high
+    parallelism); a 64-bit key hash in front resolves ~all comparisons
+    in the pointer array.  Same groups, same single exchange
+    (hash(_bucket,_salt) still satisfies the clustered distribution),
+    ~10% faster fold at both 1 and 4 pinned cores."""
     others = [c for c in PHYS_COLUMNS if c not in KEY_COLUMNS]
     if n_buckets is None:
         agg = phys.groupBy(*KEY_COLUMNS).agg(
@@ -108,12 +126,16 @@ def lww_resolve(
         return agg.select(
             *KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in others]
         ).select(*PHYS_COLUMNS)
-    b = phys.withColumn("_bucket", bucket_of(F.col("conv_id"), n_buckets)).withColumn(
-        "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_factor))
+    b = (
+        phys.withColumn("_bucket", bucket_of(F.col("conv_id"), n_buckets))
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_factor))
+        )
+        .withColumn("_kh", F.xxhash64("conv_id", "turn_idx"))
     )
     agg = (
         b.repartition(n_buckets * salt_factor, "_bucket", "_salt")
-        .groupBy("_bucket", "_salt", *KEY_COLUMNS)
+        .groupBy("_kh", "_bucket", "_salt", *KEY_COLUMNS)
         .agg(F.max_by(F.struct(*others), _order_struct()).alias("_w"))
     )
     return agg.select(

@@ -1,0 +1,97 @@
+"""Incremental change feed over Icelet snapshots (table/changes.py).
+
+The MoR invariant under test: files added between two append snapshots,
+folded by the same LWW max, equal the net change of that offset window —
+so a consumer can tail the table without rescanning it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from filipo_spark.generators import gen_changelog
+from filipo_spark.operators.dedup import lww_dedup
+from filipo_spark.replay import run_replay
+from filipo_spark.table.changes import changes_between
+from filipo_spark.table.icelet import IceletTable
+
+from tests.conftest import df_rows
+
+
+@pytest.fixture()
+def replayed(spark, tmp_path):
+    """4-epoch replay; returns (table, log, [append manifest rows])."""
+    log = gen_changelog(spark, n_conv=20, n_events=2500, seed=21)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=8)
+    run_replay(spark, t, log, batch_size=(hi - lo) // 4 + 1)
+    appends = [m for m in t.manifest() if m["kind"] == "append"]
+    assert len(appends) == 4
+    return t, log, appends
+
+
+def test_feed_equals_window_winners(spark, replayed):
+    """Feed(snap1 → snap3) == LWW winners of the lsn window (epochs 2-3),
+    deletes included as op='D' tombstone rows."""
+    t, log, appends = replayed
+    lo_w, hi_w = appends[0]["offset_hi"], appends[2]["offset_hi"]
+    feed = changes_between(spark, t, appends[0]["snapshot_id"],
+                           appends[2]["snapshot_id"])
+
+    window = log.where((F.col("lsn") > lo_w) & (F.col("lsn") <= hi_w))
+    want = lww_dedup(window).select(
+        "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "lsn", "role", "text", "tool", "ts",
+    )
+    assert df_rows(feed) == df_rows(want)
+    assert feed.where("op = 'D'").count() > 0  # deletes flow through
+
+
+def test_feed_is_net_update_then_delete(spark, tmp_path):
+    """A key upserted in epoch 1 and deleted in epoch 2 nets to ONE 'D'
+    row carrying the delete's lsn."""
+    rows = [
+        (1, "U", "c-1", 0, "user", "v1", None, "2024-01-01 00:00:01"),
+        (2, "U", "c-1", 0, "user", "v2", None, "2024-01-01 00:00:02"),
+        (3, "D", "c-1", 0, None, None, None, "2024-01-01 00:00:03"),
+    ]
+    log = spark.createDataFrame(
+        rows, "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=4)
+    run_replay(spark, t, log, batch_size=2)  # epochs: lsn (0,2], (2,3]
+    appends = [m for m in t.manifest() if m["kind"] == "append"]
+    assert len(appends) == 2
+    base = [m["snapshot_id"] for m in appends]
+    full = df_rows(changes_between(spark, t, "empty"))
+    assert full == [("c-1", 0, "D", 3, None, None, None,
+                     full[0][7])]  # net of all three events is the delete
+    ep2 = df_rows(changes_between(spark, t, base[0], base[1]))
+    assert [r[:4] for r in ep2] == [("c-1", 0, "D", 3)]
+
+
+def test_feed_empty_window_and_bad_order(spark, replayed):
+    t, _log, appends = replayed
+    sid = appends[1]["snapshot_id"]
+    assert changes_between(spark, t, sid, sid).count() == 0
+    with pytest.raises(ValueError, match="newer than"):
+        changes_between(spark, t, appends[2]["snapshot_id"],
+                        appends[0]["snapshot_id"])
+    with pytest.raises(ValueError, match="lineage"):
+        changes_between(spark, t, "no-such-snapshot")
+
+
+def test_feed_refuses_compacted_window(spark, replayed):
+    """A compaction inside the window rewrites file history — the feed
+    must refuse, and remain answerable for the pre-compact window."""
+    t, _log, appends = replayed
+    assert t.compact(spark, min_files=2) is not None
+    with pytest.raises(ValueError, match="non-append"):
+        changes_between(spark, t, appends[0]["snapshot_id"])
+    # window fully before the compaction still works
+    assert changes_between(
+        spark, t, appends[0]["snapshot_id"], appends[3]["snapshot_id"]
+    ).count() > 0
