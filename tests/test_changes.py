@@ -84,6 +84,33 @@ def test_feed_empty_window_and_bad_order(spark, replayed):
         changes_between(spark, t, "no-such-snapshot")
 
 
+def test_feed_cli_summary_and_dump(spark, replayed, tmp_path, capsys):
+    """jobs/feed.py: lineage listing without a cursor; summary + parquet
+    dump with one.  The dump equals the library-level feed."""
+    import json
+
+    from filipo_spark.jobs import feed as feed_job
+
+    t, _log, appends = replayed
+    feed_job.main(["--table", t.root])
+    lineage = json.loads(capsys.readouterr().out)["lineage"]
+    assert [m["snapshot_id"] for m in lineage][1:] == [
+        m["snapshot_id"] for m in appends
+    ]  # [0] is the 'empty' root
+
+    out = str(tmp_path / "feed")
+    feed_job.main([
+        "--table", t.root, "--from-snapshot", appends[0]["snapshot_id"],
+        "--to-snapshot", appends[2]["snapshot_id"], "--out", out,
+    ])
+    summary = json.loads(capsys.readouterr().out)
+    want = changes_between(spark, t, appends[0]["snapshot_id"],
+                           appends[2]["snapshot_id"])
+    assert summary["rows"] == want.count()
+    assert summary["deletes"] == want.where("op = 'D'").count()
+    assert df_rows(spark.read.parquet(out)) == df_rows(want)
+
+
 def test_feed_refuses_compacted_window(spark, replayed):
     """A compaction inside the window rewrites file history — the feed
     must refuse, and remain answerable for the pre-compact window."""
