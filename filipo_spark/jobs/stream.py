@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> None:
 
         with open(args.mapping) as f:
             mapping = Mapping.from_json(f.read())
+    elif args.auto_realign:
+        # a stream's wire schema is fixed at readStream time, so drift
+        # healing needs a seed function store; a drifted source with no
+        # mapping yet is the batch path's job (replay.py --auto-realign
+        # learns from the first epoch), not the tail's
+        sys.exit("--auto-realign requires --mapping (seed function store); "
+                 "for mapping-less bootstrap use jobs/replay.py --auto-realign")
 
     stats = tail_changelog(
         spark, args.source, table, args.checkpoint,
