@@ -10,6 +10,7 @@ embeddings pre-registered as views).
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +20,14 @@ from pyspark.sql import functions as F
 def _utc(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect and rebuild with the same schema — for queries that stand
+    up a throwaway Icelet table: the returned DataFrame must not depend
+    on temp files the query deletes on the way out (correctness/bench
+    runs used to leak one table dir per invocation)."""
+    return spark.createDataFrame(df.collect(), df.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -481,18 +490,22 @@ def q_icelet_sql_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ch.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
     batch = (int(b["hi"]) - int(b["lo"]) + 2) // 2  # ceil(span/2) → 2 epochs
     table = IceletTable.create(tempfile.mkdtemp(prefix="icelet-sql-"), n_buckets=8)
-    run_replay(spark, table, ch, batch_size=batch)
-    snap1 = next(
-        m["snapshot_id"] for m in table.manifest() if m.get("kind") == "append"
-    )
-    register_icelet(spark, table.root, "transcripts_snap1", snapshot_id=snap1)
-    return spark.sql(
-        """
-        SELECT conv_id, turn_idx, role, text, tool, ts
-        FROM transcripts_snap1
-        ORDER BY conv_id, turn_idx
-        """
-    )
+    try:
+        run_replay(spark, table, ch, batch_size=batch)
+        snap1 = next(
+            m["snapshot_id"] for m in table.manifest() if m.get("kind") == "append"
+        )
+        register_icelet(spark, table.root, "transcripts_snap1", snapshot_id=snap1)
+        return _materialized(spark, spark.sql(
+            """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM transcripts_snap1
+            ORDER BY conv_id, turn_idx
+            """
+        ))
+    finally:
+        spark.catalog.dropTempView("transcripts_snap1")
+        shutil.rmtree(table.root, ignore_errors=True)
 
 
 def q_drift_auto_realign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,21 +540,24 @@ def q_drift_auto_realign(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = IceletTable.create(
         tempfile.mkdtemp(prefix="icelet-drift-"), n_buckets=8
     )
-    table.bootstrap(target)
-    base, span = 1 << 41, 1 << 40
-    mut = F.pmod(F.col("turn_idx"), F.lit(5)) == 0
-    mutated = target.withColumn(
-        "text", F.when(mut, F.upper("text")).otherwise(F.col("text"))
-    )
-    drifted = gen_drifted(gen_echo_changelog(target, start_lsn=base), "rename").unionByName(
-        gen_drifted(gen_echo_changelog(mutated, start_lsn=base + span), "nested")
-    )
-    report = run_drifted_replay(
-        spark, table, drifted,
-        epochs=[(base - 1, base + span - 1), (base + span - 1, base + 2 * span - 1)],
-    )
-    assert [r["epoch"] for r in report.realigns] == [0, 1], report.realigns
-    return canonical(table.read_logical(spark))
+    try:
+        table.bootstrap(target)
+        base, span = 1 << 41, 1 << 40
+        mut = F.pmod(F.col("turn_idx"), F.lit(5)) == 0
+        mutated = target.withColumn(
+            "text", F.when(mut, F.upper("text")).otherwise(F.col("text"))
+        )
+        drifted = gen_drifted(gen_echo_changelog(target, start_lsn=base), "rename").unionByName(
+            gen_drifted(gen_echo_changelog(mutated, start_lsn=base + span), "nested")
+        )
+        report = run_drifted_replay(
+            spark, table, drifted,
+            epochs=[(base - 1, base + span - 1), (base + span - 1, base + 2 * span - 1)],
+        )
+        assert [r["epoch"] for r in report.realigns] == [0, 1], report.realigns
+        return _materialized(spark, canonical(table.read_logical(spark)))
+    finally:
+        shutil.rmtree(table.root, ignore_errors=True)
 
 
 def q_schema_evolution_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,12 +605,20 @@ def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     lo, hi, n = int(b["lo"]), int(b["hi"]), int(b["n"])
     table = IceletTable.create(tempfile.mkdtemp(prefix="icelet-feed-"), n_buckets=8)
-    run_replay(spark, table, ch, batch_size=(hi - lo) // 4 + 1, bounds=(lo, hi, n))
-    appends = [m for m in table.manifest() if m["kind"] == "append"]
-    feed = changes_between(
-        spark, table, appends[0]["snapshot_id"], appends[2]["snapshot_id"]
-    )
-    return feed.orderBy("conv_id", "turn_idx")
+    try:
+        run_replay(spark, table, ch, batch_size=(hi - lo) // 4 + 1, bounds=(lo, hi, n))
+        appends = [m for m in table.manifest() if m["kind"] == "append"]
+        # small LSN spans plan < 4 epochs; the oracle's
+        # least(lo0+3*bs, hi) upper bound coincides with the LAST append
+        # whenever fewer than 3 appends exist, so clamp the index
+        feed = changes_between(
+            spark, table,
+            appends[0]["snapshot_id"],
+            appends[min(2, len(appends) - 1)]["snapshot_id"],
+        )
+        return _materialized(spark, feed.orderBy("conv_id", "turn_idx"))
+    finally:
+        shutil.rmtree(table.root, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -273,6 +273,26 @@ def _merge_best_scaling(result: dict, sidecar: str = "scaling.json") -> dict:
     return best
 
 
+def _compact_scaling(d: dict) -> dict:
+    """Summary-only view for the final printed JSON line.  The full
+    sample arrays (`runs_n`/`runs_4n`) and the `archived` trail live in
+    the BENCH/ sidecars; embedding them in the one-line driver artifact
+    made it outgrow the driver's tail capture (round 3's BENCH_r03.json
+    failed to parse), losing the per-query dict — the round's hard perf
+    signal.  Keep the printed line small and stable."""
+    out = {
+        k: d[k]
+        for k in (
+            "n_cpus", "4n_cpus", "events", "efficiency", "efficiency_median",
+            "events_per_sec_n", "events_per_sec_4n", "median_n", "median_4n",
+            "code",
+        )
+        if k in d
+    }
+    out["n_runs"] = len(d.get("runs_n", []))
+    return out
+
+
 def _scaling_table(d: dict) -> str:
     """Shared rendering: per-level table + the three efficiency
     statistics (loaded-N, median, best-of) with the envelope caveat."""
@@ -460,11 +480,11 @@ def main() -> None:
         "events_per_sec": round(headline["events_per_sec"]),
     }
     if scaling:
-        out["scaling"] = scaling
+        out["scaling"] = _compact_scaling(scaling)
     deep_path = os.path.join(REPO, "BENCH", "scaling_deep.json")
     if os.path.exists(deep_path):
         with open(deep_path) as f:
-            out["scaling_deep"] = json.load(f)
+            out["scaling_deep"] = _compact_scaling(json.load(f))
     print(json.dumps(out))
 
 

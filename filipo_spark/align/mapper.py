@@ -282,18 +282,27 @@ def align(
         # J4 error/degenerate-response pruning (AlignmentProcessor.java:
         # 251-310, error_threshold config.json:22): the reference removes
         # the modal "error page" response before aligning; the payload
-        # guise is a field whose modal value covers >= error_threshold of
-        # its non-null probe observations (a constant "status":"ok" field
-        # carries no alignment signal and must not enter key discovery or
-        # voting).  One bounded agg over the cached probe sample — the
-        # same statistic scp.degenerate_columns computes on wide tables.
+        # guise is a field whose modal value covers MORE than
+        # error_threshold of its non-null probe observations (a constant
+        # "status":"ok" field carries no alignment signal).  Degenerate
+        # fields are kept OUT of key discovery and combined candidacy but
+        # still VOTE: the reference prunes modal error *responses*, so a
+        # field-level analog that silently dropped fields was strictly
+        # more aggressive — a legitimate two-value field (alternating
+        # user/assistant roles, ~50% modal share plus sampling noise)
+        # must not lose its mapping (ADVICE r3).  A degenerate field that
+        # wins a target column through the normal gates (vote threshold +
+        # confidence floor) carried real signal and is kept; only the
+        # ones that map nothing become prune events.  One bounded agg
+        # over the cached probe sample — the same statistic
+        # scp.degenerate_columns computes on wide tables.
         fv = src_flat.groupBy("src_field", "src_value").agg(
             F.count(F.lit(1)).alias("n")
         )
         deg_rows = (
             fv.groupBy("src_field")
             .agg(F.max(F.struct("n", "src_value")).alias("m"), F.sum("n").alias("n_tot"))
-            .where(F.col("m.n") >= F.col("n_tot") * error_threshold)
+            .where(F.col("m.n") > F.col("n_tot") * error_threshold)
             .select(
                 "src_field",
                 F.col("m.src_value").alias("modal"),
@@ -301,14 +310,12 @@ def align(
             )
             .collect()
         )
-        prune_events = ([f"prune:list_responses(n={n_list})"] if n_list else []) + [
-            f"prune:{r['src_field']}(modal={r['modal']},ratio={r['ratio']})"
-            for r in sorted(deg_rows, key=lambda r: r["src_field"])
-        ]
-        if deg_rows:
-            src_flat = src_flat.where(
-                ~F.col("src_field").isin([r["src_field"] for r in deg_rows])
-            )
+        deg_fields = {r["src_field"] for r in deg_rows}
+        src_flat_keys = (
+            src_flat.where(~F.col("src_field").isin(list(deg_fields)))
+            if deg_fields
+            else src_flat
+        )
         # bounded: distinct fields of the probe sample (needed for the
         # pivot values list and the combined pass — one small collect)
         all_src = sorted(
@@ -316,7 +323,7 @@ def align(
         )
         # (1) key discovery over a key-columns-only melt (pruned scan)
         key_long = melt_target(target, KEY_COLUMNS)
-        key_fields = discover_key_fields(src_flat, key_long)
+        key_fields = discover_key_fields(src_flat_keys, key_long)
         if debug is not None:
             debug["key_long"] = key_long
         if len(key_fields) < len(KEY_COLUMNS):
@@ -537,7 +544,7 @@ def align(
             if f.name not in single_tgt and f.name not in key_fields
         ]
         mapped_src = {r["src_field"] for r in singles} | set(key_fields.values())
-        unmapped_src = [s for s in all_src if s not in mapped_src]
+        unmapped_src = [s for s in all_src if s not in mapped_src and s not in deg_fields]
         comb_tgt = multi_tgt + unmapped_tgt
         comb_src = sorted(
             set().union(*(cand_by_tgt[t] for t in multi_tgt)) if multi_tgt else set()
@@ -576,6 +583,18 @@ def align(
                 {k: v for k, v in best_row.items() if k not in ("n_parts", "exact", "weighted_votes")}
             )
 
+        # prune events: only degenerate fields that ended up mapping
+        # NOTHING (a winner's dominance was real signal, e.g. a two-role
+        # corpus) — recorded for lineage exactly like the reference's
+        # removed error responses
+        final_parts = set(key_fields.values())
+        for r in cols:
+            final_parts.update(r["src_field"].split("+"))
+        prune_events = ([f"prune:list_responses(n={n_list})"] if n_list else []) + [
+            f"prune:{r['src_field']}(modal={r['modal']},ratio={r['ratio']})"
+            for r in sorted(deg_rows, key=lambda r: r["src_field"])
+            if r["src_field"] not in final_parts
+        ]
         events = prune_events + [
             f"map:{key_fields['conv_id']}->conv_id(key)",
             f"map:{key_fields['turn_idx']}->turn_idx(key)",

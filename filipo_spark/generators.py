@@ -301,6 +301,21 @@ def gen_drifted(changes: DataFrame, profile: str = "rename") -> DataFrame:
             ("tool_name", F.col("tool")),
             ("event_time", iso_ts),
         ]
+    elif profile == "mergedtext":
+        # the combined-point breaker: same wire as 'split' EXCEPT text now
+        # arrives whole in one NEW field — ONLY the text_head+text_tail
+        # combined linkage point breaks (every other field keeps its name
+        # and type), so neither unmapped_ratio (1 new key of 6 ≈ 0.17)
+        # nor cast_fail_ratio moves; the support-presence drift term
+        # (align/drift.py support_drop_ratio) is what must catch it
+        entries = [
+            ("conversation_id", F.col("conv_id")),
+            ("turnIndex", F.col("turn_idx").cast("string")),
+            ("role", F.col("role")),
+            ("body", F.col("text")),
+            ("tool_name", F.col("tool")),
+            ("event_time", iso_ts),
+        ]
     elif profile == "punct":
         # tool ids arrive dash-mangled ("s--e--a--r--c--h"): every fuzzy
         # metric scores < 0.5 against "search", but the reference's

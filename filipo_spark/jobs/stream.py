@@ -23,6 +23,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="keep tailing (default: drain available data and stop)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--mapping", help="optional mapping.json for a drifted source")
+    ap.add_argument("--source-format", choices=["drifted", "json"], default=None,
+                    help="wire shape of a drifted source with NO mapping.json "
+                         "yet: with --auto-realign the mapping is bootstrapped "
+                         "from the first micro-batch (reason=init fence)")
     ap.add_argument("--auto-realign", action="store_true",
                     help="per-batch mapping-health check; re-align and hot-swap "
                          "the mapping when the stream's wire shape drifts "
@@ -50,13 +54,13 @@ def main(argv: list[str] | None = None) -> None:
 
         with open(args.mapping) as f:
             mapping = Mapping.from_json(f.read())
-    elif args.auto_realign:
-        # a stream's wire schema is fixed at readStream time, so drift
-        # healing needs a seed function store; a drifted source with no
-        # mapping yet is the batch path's job (replay.py --auto-realign
-        # learns from the first epoch), not the tail's
-        sys.exit("--auto-realign requires --mapping (seed function store); "
-                 "for mapping-less bootstrap use jobs/replay.py --auto-realign")
+    elif args.auto_realign and not args.source_format:
+        # the wire schema is fixed at readStream time: mapping-less
+        # bootstrap must declare the wire shape so the tail can learn the
+        # mapping from its first micro-batch (streaming/tail.py)
+        sys.exit("--auto-realign without --mapping requires --source-format "
+                 "drifted|json (the mapping is then learned from the first "
+                 "micro-batch)")
 
     stats = tail_changelog(
         spark, args.source, table, args.checkpoint,
@@ -66,13 +70,20 @@ def main(argv: list[str] | None = None) -> None:
         auto_realign=args.auto_realign,
         drift_threshold=args.drift_threshold,
         compact_every=args.compact_every,
+        source_format=args.source_format,
     )
     if args.continuous:
         stats.pop("query").awaitTermination()
     final_mapping = stats.pop("mapping", None)
-    if args.auto_realign and args.mapping and final_mapping is not None:
-        # persist the (possibly re-learned) function store next to the input
-        with open(args.mapping + ".current", "w") as f:
+    if args.auto_realign and final_mapping is not None:
+        # persist the (possibly re-learned or bootstrapped) function store
+        # next to the input mapping, else in the table's metadata dir
+        out = (
+            args.mapping + ".current"
+            if args.mapping
+            else os.path.join(args.table, "metadata", "mapping.current.json")
+        )
+        with open(out, "w") as f:
             f.write(final_mapping.to_json())
     from filipo_spark.metrics import replay_metrics
 

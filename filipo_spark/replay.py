@@ -118,9 +118,15 @@ def run_drifted_replay(
     compact_every: int = 0,
     compact_min_files: int = 8,
     bounds: tuple[int, int, int] | None = None,
+    key_check_every: int = 0,
 ) -> ReplayReport:
     """Self-healing replay of a DRIFTED change stream (payload as
     map<string,string> or raw JSON string) into ``table``.
+
+    ``key_check_every=k`` adds the opt-in ``key_miss_ratio`` health term
+    (drift.py) on every k-th epoch — catches value-level corruption of a
+    string-typed key; costs one column-pruned key scan of the table per
+    checked epoch, hence a cadence, not per-epoch.
 
     Per epoch: observe mapping health on a bounded sample
     (align/drift.py); when the unmapped-field or cast-failure ratio
@@ -159,14 +165,37 @@ def run_drifted_replay(
         bounds[0], bounds[1], batch_size
     )
     committed = table.committed_ranges()
+    nonempty: list[bool] | None = None
     for epoch, (lo, hi) in enumerate(ranges):
         if (lo, hi) in committed:
             report.epochs_skipped += 1
             continue
         batch = drifted.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-        health = None if mapping is None else mapping_health(batch, mapping, health_sample)
+        tkeys = (
+            table.read_raw(spark).select("conv_id", "turn_idx")
+            if mapping is not None and key_check_every and epoch % key_check_every == 0
+            else None
+        )
+        health = (
+            None
+            if mapping is None
+            else mapping_health(batch, mapping, health_sample, target_keys=tkeys)
+        )
+        if mapping is None and nonempty is None:
+            # ONE job for all epochs' emptiness flags (needed only while no
+            # mapping exists — explicit Kafka-style ranges may lead with
+            # empty ones; a limit(1).count() per epoch was a job apiece)
+            row = drifted.agg(
+                *[
+                    F.count(
+                        F.when((F.col("lsn") > l_) & (F.col("lsn") <= h_), 1)
+                    ).alias(f"e{i}")
+                    for i, (l_, h_) in enumerate(ranges)
+                ]
+            ).collect()[0]
+            nonempty = [int(row[f"e{i}"]) > 0 for i in range(len(ranges))]
         evo: list[str] = []
-        if (mapping is None and batch.limit(1).count() > 0) or (
+        if (mapping is None and nonempty[epoch]) or (
             health is not None and should_realign(health, threshold)
         ):
             mapping = align(batch, table.read_logical(spark), **align_kwargs)

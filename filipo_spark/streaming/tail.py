@@ -46,6 +46,8 @@ def tail_changelog(
     align_kwargs: dict | None = None,
     compact_every: int = 0,
     compact_min_files: int = 8,
+    source_format: str | None = None,
+    key_check_every: int = 0,
 ) -> dict:
     """Tail parquet change files from ``source_dir`` into ``table``.
 
@@ -64,8 +66,42 @@ def tail_changelog(
     ``compact_every=k`` folds over-fragmented buckets every k applied
     batches — the long-running-stream twin of replay's MoR maintenance
     (read amplification stays bounded while the tail runs for months).
+
+    Mapping-less bootstrap: with ``auto_realign=True`` and no seed
+    ``mapping``, pass ``source_format`` ('drifted' for a
+    map<string,string> payload wire, 'json' for a raw JSON-string
+    payload) — the read schema is fixed at readStream time, so the wire
+    shape must be declared; the mapping itself is then learned from the
+    first non-empty micro-batch against the table's current resolved
+    state (same ``reason=init`` fence the replay path writes) — a
+    pure-streaming deployment needs no manual batch alignment step.
+    ``key_check_every=k`` adds the opt-in ``key_miss_ratio`` health term
+    on every k-th applied batch (see align/drift.py for the cost note).
     """
-    if mapping is None:
+    if source_format is not None:
+        if source_format not in ("drifted", "json"):
+            raise ValueError(f"unknown source_format: {source_format!r}")
+        if mapping is None and not auto_realign:
+            raise ValueError(
+                "a drifted source without a mapping needs auto_realign=True "
+                "(bootstrap from the first micro-batch) — raw payload rows "
+                "cannot be applied to the table"
+            )
+        if source_format == "json":
+            from filipo_spark.schema import DRIFTED_JSON_SCHEMA
+
+            stream = spark.readStream.schema(DRIFTED_JSON_SCHEMA)
+        else:
+            from filipo_spark.schema import DRIFTED_SCHEMA
+
+            stream = spark.readStream.schema(DRIFTED_SCHEMA)
+    elif mapping is None:
+        if auto_realign:
+            raise ValueError(
+                "auto_realign without a seed mapping requires source_format="
+                "'drifted'|'json' (the wire shape must be declared at "
+                "readStream time to bootstrap the mapping in-stream)"
+            )
         stream = spark.readStream.schema(CHANGE_SCHEMA)
     elif getattr(mapping, "payload_json_schema", None):
         # raw-JSON wire WAL: the mapping carries the payload schema
@@ -91,30 +127,43 @@ def tail_changelog(
             return
         m = stats["mapping"]
         evo: list[str] = []
-        if m is not None:
-            if auto_realign:
-                from filipo_spark.align import align
-                from filipo_spark.align.drift import (
-                    DRIFT_THRESHOLD,
-                    mapping_health,
-                    realign_event,
-                    should_realign,
-                )
+        if auto_realign and (m is not None or source_format is not None):
+            from filipo_spark.align import align
+            from filipo_spark.align.drift import (
+                DRIFT_THRESHOLD,
+                mapping_health,
+                realign_event,
+                should_realign,
+            )
 
-                health = mapping_health(batch_df, m, health_sample)
+            if m is None:
+                # mapping-less bootstrap: learn the function store from
+                # this (first non-empty) micro-batch, fenced as
+                # reason=init exactly like replay's first drifted epoch
+                health = None
+                relearn = True
+            else:
+                tkeys = (
+                    table.read_raw(spark).select("conv_id", "turn_idx")
+                    if key_check_every and stats["batches"] % key_check_every == 0
+                    else None
+                )
+                health = mapping_health(batch_df, m, health_sample, target_keys=tkeys)
                 thr = DRIFT_THRESHOLD if drift_threshold is None else drift_threshold
-                if should_realign(health, thr):
-                    m = align(
-                        batch_df, table.read_logical(spark), **(align_kwargs or {})
+                relearn = should_realign(health, thr)
+            if relearn:
+                m = align(
+                    batch_df, table.read_logical(spark), **(align_kwargs or {})
+                )
+                stats["mapping"] = m
+                stats["realigns"] += 1
+                evo = [
+                    realign_event(
+                        f"batch={int(batch_id)}",
+                        int(bounds["lo"]) - 1, int(bounds["hi"]), health, m,
                     )
-                    stats["mapping"] = m
-                    stats["realigns"] += 1
-                    evo = [
-                        realign_event(
-                            f"batch={int(batch_id)}",
-                            int(bounds["lo"]) - 1, int(bounds["hi"]), health, m,
-                        )
-                    ]
+                ]
+        if m is not None:
             from filipo_spark.align import apply_mapping
 
             batch_df = apply_mapping(batch_df, m)

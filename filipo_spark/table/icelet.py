@@ -189,11 +189,13 @@ class IceletTable:
         return files
 
     def snapshot_ids(self) -> list[str]:
-        """Snapshot lineage, oldest→current (parent-chain walk)."""
+        """Snapshot lineage, oldest→current (parent-chain walk).  The walk
+        stops at the retention floor: a parent whose JSON was removed by
+        ``expire_snapshots`` ends the chain (by design, not an error)."""
         chain: list[str] = []
         sid = self.current_snapshot_id()
         seen: set[str] = set()
-        while sid and sid not in seen:
+        while sid and sid not in seen and os.path.exists(self._snap_path(sid)):
             seen.add(sid)
             chain.append(sid)
             with open(self._snap_path(sid)) as f:
@@ -434,12 +436,36 @@ class IceletTable:
         )
 
     # --- maintenance ---------------------------------------------------
+    def expire_snapshots(self, keep_last: int) -> list[str]:
+        """Retention horizon: drop all but the newest ``keep_last``
+        snapshots from the lineage (their JSON files are removed; the
+        chain walk then stops at the oldest survivor).  Data files only
+        they referenced become vacuum()-collectable.
+
+        This bounds metadata + storage growth for a long-lived table and
+        defines the change-feed catch-up window: ``changes_between`` can
+        serve any window whose snapshots survive — including across
+        compactions, whose pre-compaction delta files stay referenced by
+        their own append snapshots until those expire.  Keep
+        ``keep_last`` larger than the slowest consumer's lag (the
+        Iceberg ``expireSnapshots`` contract).
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current snapshot)")
+        chain = self.snapshot_ids()
+        expired = chain[:-keep_last]
+        for sid in expired:
+            p = self._snap_path(sid)
+            if os.path.exists(p):
+                os.remove(p)
+        return expired
+
     def vacuum(self) -> list[str]:
-        """Delete data files not referenced by the current snapshot chain."""
+        """Delete data files not referenced by the retained snapshot chain."""
         live: set[str] = set()
         sid = self.current_snapshot_id()
         seen: set[str] = set()
-        while sid and sid not in seen:
+        while sid and sid not in seen and os.path.exists(self._snap_path(sid)):
             seen.add(sid)
             with open(self._snap_path(sid)) as f:
                 snap = json.load(f)

@@ -111,14 +111,62 @@ def test_feed_cli_summary_and_dump(spark, replayed, tmp_path, capsys):
     assert df_rows(spark.read.parquet(out)) == df_rows(want)
 
 
-def test_feed_refuses_compacted_window(spark, replayed):
-    """A compaction inside the window rewrites file history — the feed
-    must refuse, and remain answerable for the pre-compact window."""
-    t, _log, appends = replayed
+def test_feed_survives_compacted_window_within_retention(spark, replayed):
+    """A compaction inside the window no longer breaks catch-up: delta
+    files are attributed per append COMMIT (snapshot minus parent —
+    immutable under the later rewrite), so the feed across the
+    compaction equals the same window read before it."""
+    t, log, appends = replayed
+    before = df_rows(changes_between(spark, t, appends[0]["snapshot_id"]))
     assert t.compact(spark, min_files=2) is not None
-    with pytest.raises(ValueError, match="non-append"):
+    after = df_rows(changes_between(spark, t, appends[0]["snapshot_id"]))
+    assert after == before
+    # and the oracle: LWW winners of the window's lsn range
+    lo_w, hi_w = appends[0]["offset_hi"], appends[3]["offset_hi"]
+    window = log.where((F.col("lsn") > lo_w) & (F.col("lsn") <= hi_w))
+    want = lww_dedup(window).select(
+        "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "lsn", "role", "text", "tool", "ts",
+    )
+    assert after == df_rows(want)
+    # vacuum keeps chain-referenced pre-compaction deltas: still answerable
+    t.vacuum()
+    assert df_rows(changes_between(spark, t, appends[0]["snapshot_id"])) == before
+
+
+def test_feed_refuses_beyond_retention(spark, replayed):
+    """expire_snapshots sets the catch-up horizon: a window whose from-
+    snapshot was expired refuses (lineage), and after vacuum the expired
+    deltas are actually gone from disk."""
+    t, _log, appends = replayed
+    t.compact(spark, min_files=2)
+    # keep_last=2 still references every append delta (snapshot file
+    # lists are cumulative), so nothing vacuums and the feed over the
+    # retained window keeps working
+    expired = t.expire_snapshots(keep_last=2)
+    assert appends[0]["snapshot_id"] in expired
+    with pytest.raises(ValueError, match="lineage"):
         changes_between(spark, t, appends[0]["snapshot_id"])
-    # window fully before the compaction still works
-    assert changes_between(
-        spark, t, appends[0]["snapshot_id"], appends[3]["snapshot_id"]
-    ).count() > 0
+    chain = t.snapshot_ids()
+    assert len(chain) == 2 and chain[0] == appends[3]["snapshot_id"]
+    assert t.vacuum() == []  # appends[3] still references all deltas
+    assert changes_between(spark, t, chain[0], chain[1]).count() == 0  # compact-only window
+    # keep_last=1 drops the last append snapshot: compacted buckets'
+    # delta files lose their only reference and vacuum really frees them
+    t.expire_snapshots(keep_last=1)
+    assert t.vacuum()
+    state = t.read_logical(spark)
+    assert state.count() > 0  # current snapshot unharmed
+
+
+def test_feed_refuses_cow_table(spark, tmp_path):
+    """COW appends rewrite whole touched buckets, so file deltas are not
+    change deltas — the feed must refuse (ADVICE r3: silently wrong
+    before, reporting every key in every touched bucket)."""
+    log = gen_changelog(spark, n_conv=10, n_events=400, seed=5)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    t = IceletTable.create(str(tmp_path / "cow"), n_buckets=4, mode="cow")
+    run_replay(spark, t, log, batch_size=(hi - lo) // 2 + 1)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        changes_between(spark, t, "empty")

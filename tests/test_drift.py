@@ -73,6 +73,74 @@ def test_mapping_health_ratios(spark, base):
     assert empty["n_sampled"] == 0 and not should_realign(empty)
 
 
+def test_combined_break_triggers_support_drop(spark, base):
+    """Blind-spot closure (VERDICT r3 #3): merging text_head+text_tail
+    into ONE new field breaks ONLY the combined linkage point — names,
+    types and keys of every other field survive, so unmapped_ratio stays
+    at ~1/6 and cast_fail at 0.  The support-presence term must be the
+    one that fires."""
+    target, _ = base
+    echo = gen_echo_changelog(target)
+    mapping = align(gen_drifted(echo, "split"), target)
+    assert mapping.as_dict()["text"] == "text_head+text_tail"  # precondition
+
+    healthy = mapping_health(gen_drifted(echo, "split"), mapping)
+    assert healthy["support_drop_ratio"] == 0.0 and not should_realign(healthy)
+
+    broken = mapping_health(gen_drifted(echo, "mergedtext"), mapping)
+    assert broken["unmapped_ratio"] < 0.5  # old detectors blind ...
+    assert broken["cast_fail_ratio"] == 0.0
+    assert broken["support_drop_ratio"] == 1.0  # ... the new one is not
+    assert should_realign(broken)
+
+
+def test_combined_break_realigns_mid_replay(spark, base, tmp_path):
+    """End-to-end: the combined point breaks mid-replay (split →
+    mergedtext) and the replay self-heals — realign fires on the flip
+    epoch via support_drop and the final state equals the mutated
+    target."""
+    target, _ = base
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=8)
+    table.bootstrap(target)
+    e1 = gen_drifted(gen_echo_changelog(target, start_lsn=BASE), "split")
+    e2 = gen_drifted(
+        gen_echo_changelog(_mutated(target), start_lsn=BASE + SPAN), "mergedtext"
+    )
+    report = run_drifted_replay(
+        spark, table, e1.unionByName(e2),
+        epochs=[(BASE - 1, BASE + SPAN - 1), (BASE + SPAN - 1, BASE + 2 * SPAN - 1)],
+    )
+    assert [r["epoch"] for r in report.realigns] == [0, 1]
+    h = report.realigns[1]["health"]
+    assert h["support_drop_ratio"] > 0.5 >= h["unmapped_ratio"]
+    assert "support_drop=" in report.realigns[1]["event"]
+    assert df_rows(table.read_logical(spark)) == df_rows(_mutated(target))
+
+
+def test_key_miss_ratio_catches_string_key_corruption(spark, base):
+    """Value-level corruption of the string KEY column (conv_id arrives
+    prefixed): names unchanged, casts fine, presence fine — only the
+    opt-in key-membership probe moves."""
+    target, mapping = base
+    echo = gen_echo_changelog(target)
+    tkeys = target.select("conv_id", "turn_idx")
+
+    clean = mapping_health(gen_drifted(echo, "rename"), mapping, target_keys=tkeys)
+    assert clean["key_miss_ratio"] == 0.0 and not should_realign(clean)
+
+    corrupted = gen_drifted(
+        echo.withColumn("conv_id", F.concat(F.lit("x-"), "conv_id")), "rename"
+    )
+    bad = mapping_health(corrupted, mapping, target_keys=tkeys)
+    assert bad["unmapped_ratio"] == 0.0 and bad["cast_fail_ratio"] == 0.0
+    assert bad["support_drop_ratio"] == 0.0
+    assert bad["key_miss_ratio"] == 1.0
+    assert should_realign(bad)
+    # without the opt-in probe the corruption is (documented) invisible
+    blind = mapping_health(corrupted, mapping)
+    assert "key_miss_ratio" not in blind and not should_realign(blind)
+
+
 def test_drifted_replay_auto_realigns_and_matches_undrifted(spark, base, tmp_path):
     """Mid-replay shape flip (rename → nested), with an EMPTY epoch in
     between: epoch 0 aligns from scratch (init), epoch 1 keeps the
@@ -153,3 +221,40 @@ def test_stream_tail_auto_realigns(spark, base, tmp_path):
     assert df_rows(table.read_logical(spark)) == df_rows(_mutated(target))
     evo = [e for m in table.manifest() for e in m["evolution_events"]]
     assert any(e.startswith("realign:batch=") for e in evo)
+
+
+def test_stream_tail_bootstraps_mapping_from_first_batch(spark, base, tmp_path):
+    """VERDICT r3 #5: a pure-streaming deployment needs no manual batch
+    alignment — with auto_realign and a declared wire shape but NO seed
+    mapping, the tail learns the function store from its first non-empty
+    micro-batch (reason=init fence) and applies the stream."""
+    from filipo_spark.streaming.tail import tail_changelog
+
+    target, _ = base
+    src = str(tmp_path / "wal")
+    gen_drifted(
+        gen_echo_changelog(_mutated(target), start_lsn=BASE), "rename"
+    ).write.parquet(src)
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=4)
+    table.bootstrap(target)
+    s = tail_changelog(
+        spark, src, table, str(tmp_path / "ckpt"),
+        mapping=None, auto_realign=True, source_format="drifted",
+    )
+    assert s["realigns"] == 1 and s["mapping"] is not None
+    assert df_rows(table.read_logical(spark)) == df_rows(_mutated(target))
+    evo = [e for m in table.manifest() for e in m["evolution_events"]]
+    assert any(e.startswith("realign:batch=") and "reason=init" in e for e in evo)
+
+    # the former silent no-op (ADVICE r3) is now a loud contract error
+    with pytest.raises(ValueError, match="source_format"):
+        tail_changelog(
+            spark, src, table, str(tmp_path / "ckpt2"),
+            mapping=None, auto_realign=True,
+        )
+    # and a drifted wire without any healing path is refused too
+    with pytest.raises(ValueError, match="auto_realign"):
+        tail_changelog(
+            spark, src, table, str(tmp_path / "ckpt3"),
+            mapping=None, source_format="drifted",
+        )

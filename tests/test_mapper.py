@@ -8,6 +8,7 @@ through apply_mapping must equal the replay of the undrifted stream.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from filipo_spark.align import align, apply_mapping
 from filipo_spark.generators import (
@@ -120,10 +121,11 @@ def test_mixed_profile_union_of_drifts(spark, base):
 
 def test_degenerate_fields_pruned_before_voting(spark, base):
     """J4 wiring (AlignmentProcessor.java:251-310, error_threshold
-    config.json:22): modal-dominated payload fields are removed from the
-    probe sample BEFORE key discovery and voting — a constant
-    "status":"ok" and a 90%-modal "shard" field map nothing, are recorded
-    as prune events, and the rename ground truth is unchanged."""
+    config.json:22): modal-dominated payload fields are kept out of key
+    discovery and, when they win no target column through the normal
+    gates, recorded as prune events — a constant "status":"ok" and a
+    90%-modal "shard" field map nothing, and the rename ground truth is
+    unchanged."""
     target, echo, _changes = base
     mapping = align(gen_drifted(echo, "errorpage"), target)
     assert mapping.as_dict() == GROUND_TRUTH["rename"]
@@ -141,6 +143,25 @@ def test_degenerate_fields_pruned_before_voting(spark, base):
         "prune:status(modal=ok,ratio=1.0)"
     ]
     assert loose.as_dict() == GROUND_TRUTH["rename"]
+
+
+def test_exactly_half_modal_field_survives_prune(spark):
+    """ADVICE r3: the degenerate gate is STRICTLY greater-than — a
+    legitimate two-value field whose modal value covers exactly 50% of
+    the probe (user/assistant alternating roles) must keep its mapping;
+    the reference prunes modal error *responses*, so the field-level
+    analog must not be more aggressive than it needs to be."""
+    target = gen_transcripts(spark, n_conv=40, max_turns=20, seed=77).withColumn(
+        "role",
+        F.when(F.pmod("turn_idx", F.lit(2)) == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    )
+    mapping = align(gen_drifted(gen_echo_changelog(target), "rename"), target)
+    assert mapping.as_dict()["role"] == "role"
+    assert not any(
+        e.startswith("prune:role") for e in mapping.evolution_events
+    ), mapping.evolution_events
 
 
 def test_depth_discount_rejects_deeper_decoy(spark, base):
