@@ -405,6 +405,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal HARD-signal member (VERDICT r3 #8): real 24-bit BMP
+    payloads (numpy-encoded, no external library) decoded back through
+    the same Arrow mapInPandas transport as extract_features — geometry
+    from the little-endian header, channel means from the
+    stride-padded BGR pixel array.  Fill/geometry are doc_id arithmetic,
+    so DuckDB states the expected decode output without touching the
+    binary; a kernel that mishandles padding or channel order fails the
+    value hash."""
+    from filipo_spark.functions.multimodal import encode_bmp_images, image_geometry
+    from filipo_spark.sources import read_table
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return image_geometry(encode_bmp_images(docs)).orderBy("doc_id")
+
+
 def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 raw-JSON ingestion (ResponseConverter.java:16-54): nested JSON
     strings → dotted [i]-indexed paths, one codegen from_json+schema-walk
@@ -656,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
+        "media_geometry": q_media_geometry,
         "json_flatten": q_json_flatten,
         "degenerate_columns": q_degenerate_columns,
         "support_confidence": q_support_confidence,
@@ -982,6 +1000,21 @@ pairs AS (
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.42
 ORDER BY id_a, id_b""",
+        # media_geometry: the BMP fill/geometry are doc_id arithmetic —
+        # the oracle derives the expected decode output (incl. file size
+        # with 4-byte row stride) while Spark parses the actual binary
+        "media_geometry": """
+WITH g AS (
+  SELECT doc_id,
+         CAST(doc_id * 7 % 57 + 8 AS INTEGER) AS width,
+         CAST(doc_id * 13 % 41 + 8 AS INTEGER) AS height,
+         CAST(doc_id * 3 % 256 AS INTEGER) AS mean_r,
+         CAST(doc_id * 5 % 256 AS INTEGER) AS mean_g,
+         CAST(doc_id * 11 % 256 AS INTEGER) AS mean_b
+  FROM documents)
+SELECT doc_id, width, height, mean_r, mean_g, mean_b,
+       CAST(54 + height * (((3 * width + 3) // 4) * 4) AS INTEGER) AS n_bytes
+FROM g ORDER BY doc_id""",
         "json_flatten": """
 WITH base AS (SELECT * FROM events WHERE event_id < 1000),
 longf AS (

@@ -104,6 +104,63 @@ def _training_pairs() -> tuple[list[tuple[str, str]], list[int]]:
     return pairs, labels
 
 
+_HELDOUT_VOCAB = (
+    "compact vacuum beacon cursor digest export anchor gather rollup "
+    "ledger quorum sentinel tally prefetch decode triage"
+).split()  # fully disjoint from _VOCAB — zero training leakage
+
+
+def _heldout_pairs() -> tuple[list[tuple[str, str]], list[int]]:
+    """Held-out evaluation set (VERDICT r3 #6): the same decoration
+    grammar over a DISJOINT vocabulary, plus adversarial negatives the
+    training set never shows — shared-prefix ids (``compact`` vs
+    ``compaction``), single-char edits (truncation), and transposed
+    middle characters (``beacon`` vs ``baecon``) — so the reported
+    number measures generalization of the learned structure, not recall
+    of memorized pairs (the reference's GB model was at least trained
+    offline on separate data; this is the engine's equivalent honesty)."""
+    rng = np.random.RandomState(13)
+    pairs: list[tuple[str, str]] = []
+    labels: list[int] = []
+
+    def dashed(s: str) -> str:
+        return "--".join(s)
+
+    def spaced(s: str) -> str:
+        return " ".join(s).upper()
+
+    def wrapped(s: str) -> str:
+        p, q = rng.choice(_HELDOUT_VOCAB), rng.choice(_HELDOUT_VOCAB)
+        return f"{p}::{s}::{q}::v{rng.randint(1, 9)}"
+
+    def transposed(s: str) -> str:
+        i = len(s) // 2
+        return s[: i - 1] + s[i] + s[i - 1] + s[i + 1 :]
+
+    for s in _HELDOUT_VOCAB:
+        others = [t for t in _HELDOUT_VOCAB if t != s]
+        t = others[rng.randint(len(others))]
+        for pos in (s, s.upper(), dashed(s), spaced(s), wrapped(s), f"  {s} "):
+            pairs.append((s, pos))
+            labels.append(1)
+        for neg in (
+            t, dashed(t), wrapped(t), s + t,
+            s + "ion",        # shared prefix, different id
+            s[:-1],           # truncation
+            transposed(s),    # transposed middle chars
+        ):
+            pairs.append((s, neg))
+            labels.append(0)
+    return pairs, labels
+
+
+def heldout_accuracy() -> float:
+    pairs, labels = _heldout_pairs()
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    return float((predict_batch(a, b).to_numpy() == np.array(labels, bool)).mean())
+
+
 @lru_cache(maxsize=1)
 def _weights() -> np.ndarray:
     pairs, labels = _training_pairs()
@@ -128,7 +185,11 @@ def _self_report() -> dict:
     a = pd.Series([p[0] for p in pairs])
     b = pd.Series([p[1] for p in pairs])
     acc = float((predict_batch(a, b).to_numpy() == np.array(labels, bool)).mean())
-    return {"weights": [round(float(w), 4) for w in _weights()], "train_accuracy": acc}
+    return {
+        "weights": [round(float(w), 4) for w in _weights()],
+        "train_accuracy": acc,
+        "heldout_accuracy": round(heldout_accuracy(), 4),
+    }
 
 
 if __name__ == "__main__":

@@ -169,6 +169,123 @@ def resize_images(
     return planned.mapInPandas(kernel, schema=RESIZE_SCHEMA)
 
 
+# --- BMP codec: a REAL decode path with no external library -----------------
+# PIL/librosa stay stubbed ('real' seam above), but 24-bit uncompressed
+# BMP is simple enough to encode/decode with numpy alone — giving the
+# multimodal transport one hard-signal, DuckDB-oracle-able member
+# (VERDICT r3 #8): geometry comes out of the little-endian header, channel
+# means out of the padded BGR pixel array, so a decoder that mishandles
+# the 4-byte row stride or channel order fails the oracle hash.
+
+GEOMETRY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.IntegerType(), False),
+        T.StructField("mean_g", T.IntegerType(), False),
+        T.StructField("mean_b", T.IntegerType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+    ]
+)
+
+_BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _bmp_encode(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bit BMP: solid ``rgb`` fill, rows
+    bottom-up, stride padded to 4 bytes (the format's real layout)."""
+    stride = ((3 * w + 3) // 4) * 4
+    row = bytes((rgb[2], rgb[1], rgb[0])) * w + b"\x00" * (stride - 3 * w)
+    data = row * h
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    return header + data
+
+
+def _bmp_decode(b: bytes) -> tuple[int, int, float, float, float]:
+    """Parse header + pixel array → (width, height, mean_r/g/b).  The
+    row padding is EXCLUDED from the means — averaging the zero pad
+    bytes (the naive bug) shifts every mean and fails the oracle."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    stride = ((3 * w + 3) // 4) * 4
+    arr = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h), offset=off)
+    px = arr.reshape(abs(h), stride)[:, : 3 * w].reshape(-1, 3).astype(np.float64)
+    means = px.mean(axis=0)  # BGR on the wire
+    return w, abs(h), float(means[2]), float(means[1]), float(means[0])
+
+
+def encode_bmp_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, payload: real BMP bytes).  Geometry and
+    fill are pure doc_id arithmetic so an ANSI oracle can state the
+    expected decode output without ever touching the binary."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        _bmp_encode(
+                            int(i * 7 % 57 + 8),
+                            int(i * 13 % 41 + 8),
+                            (int(i * 3 % 256), int(i * 5 % 256), int(i * 11 % 256)),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=_BMP_SCHEMA)
+
+
+def image_geometry(images: DataFrame) -> DataFrame:
+    """(doc_id, payload) → decoded geometry + per-channel means, Arrow
+    batch transport (same mapInPandas shape as extract_features; the
+    kernel is the real numpy BMP parser).  Means are exact integers for
+    solid fills — emitted as int so the oracle compare is FP-free."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_bmp_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "mean_r": [int(round(r[2])) for r in rows],
+                    "mean_g": [int(round(r[3])) for r in rows],
+                    "mean_b": [int(round(r[4])) for r in rows],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return images.mapInPandas(kernel, schema=GEOMETRY_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp —
     the shuffle-side of frame extraction (the decode itself is the same
