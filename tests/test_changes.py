@@ -170,3 +170,22 @@ def test_feed_refuses_cow_table(spark, tmp_path):
     run_replay(spark, t, log, batch_size=(hi - lo) // 2 + 1)
     with pytest.raises(ValueError, match="merge-on-read"):
         changes_between(spark, t, "empty")
+
+
+def test_maintain_cli_compact_expire_vacuum(spark, replayed, capsys):
+    """jobs/maintain.py: the three levers in safe order, JSON summary."""
+    import json
+
+    from filipo_spark.jobs import maintain as maintain_job
+
+    t, _log, _appends = replayed
+    maintain_job.main([
+        "--table", t.root, "--compact-min-files", "2",
+        "--expire-keep-last", "1", "--vacuum",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["compacted_buckets"]
+    assert len(out["expired_snapshots"]) >= 4
+    assert out["vacuumed_files"] > 0
+    assert out["retained_snapshots"] == 1
+    assert t.read_logical(spark).count() > 0
