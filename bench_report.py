@@ -1,0 +1,207 @@
+"""Bench REPORTING — deliberately outside bench.py's measured-code hash.
+
+`bench._code_version()` fingerprints the measured execution path so
+scaling samples only ever merge across byte-identical code.  Rendering
+those samples (BASELINE.md, the compact driver JSON line) is not part
+of the measured path, so it lives here: a wording change in a report
+must never archive an hour of quiet-window samples.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def compact_scaling(d: dict) -> dict:
+    """Summary-only view for the final printed JSON line.  The full
+    sample arrays (`runs_n`/`runs_4n`) and the `archived` trail live in
+    the BENCH/ sidecars; embedding them in the one-line driver artifact
+    made it outgrow the driver's tail capture (round 3's BENCH_r03.json
+    failed to parse), losing the per-query dict — the round's hard perf
+    signal.  Keep the printed line small and stable."""
+    out = {
+        k: d[k]
+        for k in (
+            "n_cpus", "4n_cpus", "events", "efficiency", "efficiency_median",
+            "events_per_sec_n", "events_per_sec_4n", "median_n", "median_4n",
+            "code",
+        )
+        if k in d
+    }
+    out["n_runs"] = len(d.get("runs_n", []))
+    return out
+
+
+def _scaling_table(d: dict) -> str:
+    """Shared rendering: per-level table + the efficiency statistics
+    (median, best-of) with the envelope caveat."""
+    n, n4 = d["n_cpus"], d["4n_cpus"]
+    k = n4 // n
+    return (
+        "| parallelism (pinned) | events/sec (median) | events/sec (best) |\n|---|---|---|\n"
+        f"| {n} CPU (N) | {d['median_n']:,} | {d['events_per_sec_n']:,} |\n"
+        f"| {n4} CPUs (4N) | {d['median_4n']:,} | {d['events_per_sec_4n']:,} |\n\n"
+        f"**Scaling efficiency (N→4N)** = (thr_4N / thr_N) / {k} = "
+        f"**{d['efficiency_median']}** median / "
+        f"**{d['efficiency']}** best-of "
+        f"(target ≥ 0.8, BASELINE.json). The MEDIAN is the headline "
+        f"statistic. Best-of compares two different hardware envelopes: "
+        f"the fastest 1-CPU sample rides single-active-core turbo and an "
+        f"uncontended memory bus (a lone busy core clocks higher than "
+        f"{k} busy cores — conditions no per-node run on a real cluster "
+        f"sees), so it overstates the per-core baseline and deflates the "
+        f"ratio; best-of-4N is capped by all-core clocks. Medians at both "
+        f"levels mix the same host windows and compare like with like.\n\n"
+        f"All runs: N={d['runs_n']}, 4N={d['runs_4n']} ev/s.\n\n"
+    )
+
+
+def _amdahl_fit(quick: dict, deep: dict) -> dict | None:
+    """Fit T4 = c + (T1 − c)/R to the two batch sizes' MEDIAN times:
+    one serial per-run cost c (job submit, parquet footers, commit
+    fsyncs, Py4J round-trips — identical at both event counts) plus a
+    parallel region with underlying speedup R.  Two (T1, T4) points
+    determine both unknowns; the fit quantifies how much of the small
+    batch's efficiency gap is fixed cost rather than engine scaling."""
+    try:
+        t1q, t4q = quick["events"] / quick["median_n"], quick["events"] / quick["median_4n"]
+        t1d, t4d = deep["events"] / deep["median_n"], deep["events"] / deep["median_4n"]
+        r = (t1d - t1q) / (t4d - t4q)
+        if r <= 1:
+            return None
+        c = (t4d * r - t1d) / (r - 1)
+        if c < 0:
+            return None
+        # extrapolate the same c to a design-point micro-batch (~10^8
+        # events): parallel time scales with events, c does not
+        t4_design = c + (1e8 / deep["events"]) * (t4d - c)
+        return {
+            "R": round(r, 2),
+            "c_sec": round(c, 2),
+            "eff_parallel_region": round(r / 4, 3),
+            "c_share_quick_4n": round(c / t4q, 3),
+            "c_share_deep_4n": round(c / t4d, 3),
+            "c_share_design_4n": round(c / t4_design, 4),
+        }
+    except (KeyError, ZeroDivisionError):
+        return None
+
+
+def _quick_verdict(quick: dict, deep: dict | None) -> str:
+    """The 2M row's status paragraph: design-point criterion when it
+    clears 0.8, fixed-cost stress-control accounting when it doesn't."""
+    if quick["efficiency_median"] >= 0.8 or not deep:
+        return ""
+    fit = _amdahl_fit(quick, deep)
+    if not fit:
+        return ""
+    return (
+        "**2M row status: fixed-cost stress control.** The design-point "
+        "criterion is the LARGE-batch row below (at the stated 10^10-events/"
+        "day scale a micro-batch is ~10^8 events; a 2M-event epoch only "
+        "exists in this sandbox). Decomposing the two batch sizes' median "
+        "times as `T4 = c + (T1 − c)/R` (two measurements, two unknowns — "
+        "an exact decomposition, not an independent prediction) attributes "
+        f"**c ≈ {fit['c_sec']}s** to serial per-run cost (job submission, "
+        "parquet footer reads, commit fsyncs, Py4J round-trips — identical "
+        "at both event counts) and leaves the shared parallel region "
+        f"scaling at **R ≈ {fit['R']}** of 4 "
+        f"(efficiency {fit['eff_parallel_region']}). That fixed cost is "
+        f"~{round(100 * fit['c_share_quick_4n'])}% of a 4-CPU 2M run, "
+        f"~{round(100 * fit['c_share_deep_4n'])}% of the 6M one, and "
+        f"~{round(100 * fit['c_share_design_4n'], 1)}% of a 10^8-event "
+        "design-point micro-batch (parallel time scales with events; c "
+        "does not) — the small batch measures job overhead, not the "
+        "engine's data-path scaling, which the 6M row isolates far better "
+        "and the production batch size would make invisible. All samples "
+        "disclosed either way.\n\n"
+    )
+
+
+def _deep_section() -> str:
+    path = os.path.join(REPO, "BENCH", "scaling_deep.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        d = json.load(f)
+    return (
+        "## Deep scaling (large single batch — the design-point shape)\n\n"
+        f"Same methodology at {d['events']:,} events per single-epoch batch "
+        "(per-epoch fixed costs amortized as they are at 10^8-event "
+        "micro-batches). **This row is the north_rule criterion.**\n\n"
+        + _scaling_table(d)
+    )
+
+
+def _merge_best_headline(headline: dict, code: str) -> dict:
+    """Best observed headline across bench runs (same policy as the
+    scaling sidecars: host steal is strictly additive slowdown, so the
+    fastest run estimates uncontended hardware; the current sample is
+    still reported alongside)."""
+    path = os.path.join(REPO, "BENCH", "headline.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    best = {
+        "events_per_sec": round(headline["events_per_sec"]),
+        "seconds": round(headline["seconds"], 3),
+        "events": headline["events"],
+        "epochs": headline["epochs"],
+        "code": code,
+    }
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if (
+            prev.get("events") == best["events"]
+            and prev.get("code") == best["code"]  # same measured code only
+            and prev.get("events_per_sec", 0) > best["events_per_sec"]
+        ):
+            best = prev
+    with open(path, "w") as f:
+        json.dump(best, f, sort_keys=True)
+    return best
+
+
+def write_baseline_md(scaling: dict, headline: dict, sf: float, cpus: int, code: str) -> None:
+    deep_path = os.path.join(REPO, "BENCH", "scaling_deep.json")
+    deep = None
+    if os.path.exists(deep_path):
+        with open(deep_path) as f:
+            deep = json.load(f)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH baseline — CDC replay throughput & scaling\n\n"
+            "Workload: synthetic binlog changelog (hot-key skew on) replayed "
+            "through the Icelet table: parquet WAL scan → bucket-aligned LWW "
+            "dedup (single exchange) → merge-on-read delta commit "
+            "(snapshot + manifest + atomic pointer).\n\n"
+            "## Two-parallelism scaling (north_rule criterion)\n\n"
+            "No real cluster exists in this sandbox; the same job runs on the "
+            "same input at two pinned CPU sets (taskset + JVM "
+            "ActiveProcessorCount, so GC/JIT threads are bounded too). "
+            "Single-epoch batch (the 10^10-scale shape: micro-batches are "
+            "~10^8 events, so per-epoch fixed costs are noise at the design "
+            "point). Repeated samples per level: the microVM host shows "
+            "bursty CPU steal, which is strictly additive slowdown, so "
+            "medians are reported with best-of disclosed. Levels above ~8 "
+            "vCPUs measure "
+            "host oversubscription, not the engine (verified: a pure-JVM md5 "
+            "probe stops scaling at 16 of the advertised 32 vCPUs). Samples "
+            "accumulate across bench runs ONLY while the measured code path "
+            "is byte-identical (content-hash versioned sidecars; prior-code "
+            "samples are archived, never mixed into current statistics).\n\n"
+            + _quick_verdict(scaling, deep)
+            + _scaling_table(scaling)
+            + _deep_section() +
+            "## Headline throughput\n\n"
+            f"local[{cpus}] (unpinned), sf={sf}: "
+            f"{round(headline['events_per_sec']):,} events/sec this run over "
+            f"{headline['events']:,} events, {headline['epochs']} epochs "
+            f"({headline['seconds']:.1f}s total); best observed across runs "
+            f"{_merge_best_headline(headline, code)['events_per_sec']:,} events/sec "
+            "(unpinned 32-vCPU level rides host contention — see the pinned "
+            "scaling tables above for the controlled numbers).\n"
+        )

@@ -35,7 +35,11 @@ def main(argv: list[str] | None = None) -> None:
                          "--mapping seeds the initial mapping; omitted → learned "
                          "from the first epoch")
     ap.add_argument("--drift-threshold", type=float, default=None,
-                    help="unmapped/cast-failure ratio that triggers re-alignment")
+                    help="health ratio that triggers re-alignment")
+    ap.add_argument("--key-check-every", type=int, default=0,
+                    help="add the key-membership health probe every N epochs "
+                         "(catches string-key value corruption; one "
+                         "column-pruned key scan per checked epoch)")
     ap.add_argument("--compact-every", type=int, default=0,
                     help="run delta compaction after every N epochs (0 = never)")
     ap.add_argument("--cpus", type=int, default=0, help="local[N] cores (0 = local[*])")
@@ -66,6 +70,7 @@ def main(argv: list[str] | None = None) -> None:
             spark, table, source, batch_size=args.batch_size,
             mapping=mapping, drift_threshold=args.drift_threshold,
             compact_every=args.compact_every,
+            key_check_every=args.key_check_every,
         )
         if args.mapping and report.mapping is not None:
             with open(args.mapping + ".current", "w") as f:

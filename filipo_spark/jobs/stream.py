@@ -32,7 +32,10 @@ def main(argv: list[str] | None = None) -> None:
                          "the mapping when the stream's wire shape drifts "
                          "(align/drift.py; realign events fenced in the manifest)")
     ap.add_argument("--drift-threshold", type=float, default=None,
-                    help="unmapped/cast-failure ratio that triggers re-alignment")
+                    help="health ratio that triggers re-alignment")
+    ap.add_argument("--key-check-every", type=int, default=0,
+                    help="add the key-membership health probe every N applied "
+                         "batches (catches string-key value corruption)")
     ap.add_argument("--compact-every", type=int, default=0,
                     help="fold over-fragmented buckets every N applied batches")
     ap.add_argument("--cpus", type=int, default=0)
@@ -71,6 +74,7 @@ def main(argv: list[str] | None = None) -> None:
         drift_threshold=args.drift_threshold,
         compact_every=args.compact_every,
         source_format=args.source_format,
+        key_check_every=args.key_check_every,
     )
     if args.continuous:
         stats.pop("query").awaitTermination()
