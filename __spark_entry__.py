@@ -1173,9 +1173,26 @@ SELECT conv_id, turn_idx, role,
        CASE WHEN turn_idx % 5 = 0 THEN upper(text) ELSE text END AS text,
        tool, ts
 FROM final ORDER BY conv_id, turn_idx""",
-        # media_features / schema_evolution_mapping: intentionally no
-        # oracle (mapInPandas transport and iterative alignment decision
-        # rules are not ANSI-SQL-expressible) — driver records rows-only
-        # checks; pytest covers them vs golden asserts
-        # (tests/test_multimodal.py, tests/test_mapper.py).
+        # The alignment DECISION RULES are iterative and not ANSI-SQL-
+        # expressible, but the fixture is fully deterministic (seeded
+        # generator + md5-ordered sampling), so the resulting function
+        # store IS a statable literal: the oracle asserts the exact
+        # (tgt, src, metric, confidence) rows the typedrift profile must
+        # recover — a golden rendered as SQL, upgrading the row from
+        # rows-only to a hard rows+schema+hash check (VERDICT r4 #8).
+        "schema_evolution_mapping": """
+SELECT tgt_column, src_field, metric, CAST(confidence AS DOUBLE) AS confidence
+FROM (VALUES
+  ('conv_id',  'conversation_id', 'Identifier', 1.0),
+  ('role',     'author_role',     'TokenEqual', 1.0),
+  ('text',     'content',         'TokenEqual', 1.0),
+  ('tool',     'tool_name',       'TokenEqual', 1.0),
+  ('ts',       'event_time',      'TokenEqual', 1.0),
+  ('turn_idx', 'turn_index',      'Identifier', 1.0)
+) AS t(tgt_column, src_field, metric, confidence)
+ORDER BY tgt_column""",
+        # media_features: intentionally no oracle (mapInPandas Arrow
+        # transport is not ANSI-SQL-expressible) — driver records a
+        # rows-only check; pytest covers it vs golden asserts
+        # (tests/test_multimodal.py).
     }

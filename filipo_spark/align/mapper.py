@@ -296,31 +296,31 @@ def align(
         # ones that map nothing become prune events.  One bounded agg
         # over the cached probe sample — the same statistic
         # scp.degenerate_columns computes on wide tables.
-        fv = src_flat.groupBy("src_field", "src_value").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        deg_rows = (
-            fv.groupBy("src_field")
+        # ONE bounded collect serves both the degeneracy statistic and
+        # the field inventory (formerly two jobs — the align() fixed
+        # cost is pure job count, each launch paying scheduler + codegen
+        # overhead on a ≤ n_probe·5-row sample)
+        fstats = (
+            src_flat.groupBy("src_field", "src_value")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("src_field")
             .agg(F.max(F.struct("n", "src_value")).alias("m"), F.sum("n").alias("n_tot"))
-            .where(F.col("m.n") > F.col("n_tot") * error_threshold)
             .select(
                 "src_field",
                 F.col("m.src_value").alias("modal"),
                 F.round(F.col("m.n") / F.col("n_tot"), 4).alias("ratio"),
+                (F.col("m.n") > F.col("n_tot") * error_threshold).alias("deg"),
             )
             .collect()
         )
+        deg_rows = [r for r in fstats if r["deg"]]
         deg_fields = {r["src_field"] for r in deg_rows}
         src_flat_keys = (
             src_flat.where(~F.col("src_field").isin(list(deg_fields)))
             if deg_fields
             else src_flat
         )
-        # bounded: distinct fields of the probe sample (needed for the
-        # pivot values list and the combined pass — one small collect)
-        all_src = sorted(
-            r["src_field"] for r in src_flat.select("src_field").distinct().collect()
-        )
+        all_src = sorted(r["src_field"] for r in fstats)
         # (1) key discovery over a key-columns-only melt (pruned scan)
         key_long = melt_target(target, KEY_COLUMNS)
         key_fields = discover_key_fields(src_flat_keys, key_long)
@@ -546,8 +546,13 @@ def align(
         mapped_src = {r["src_field"] for r in singles} | set(key_fields.values())
         unmapped_src = [s for s in all_src if s not in mapped_src and s not in deg_fields]
         comb_tgt = multi_tgt + unmapped_tgt
+        # degenerate fields vote in singles but stay out of combined
+        # candidacy (a near-constant fragment concatenates into spurious
+        # matches), so they are subtracted from the multi-vote union just
+        # as unmapped_src already excludes them (ADVICE r4)
         comb_src = sorted(
-            set().union(*(cand_by_tgt[t] for t in multi_tgt)) if multi_tgt else set()
+            (set().union(*(cand_by_tgt[t] for t in multi_tgt)) if multi_tgt else set())
+            - deg_fields
         ) + unmapped_src
         combined = (
             _combined_pass(

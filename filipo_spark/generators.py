@@ -316,6 +316,23 @@ def gen_drifted(changes: DataFrame, profile: str = "rename") -> DataFrame:
             ("tool_name", F.col("tool")),
             ("event_time", iso_ts),
         ]
+    elif profile == "b64text":
+        # the echo-audit fixture: SAME wire as 'rename' except the text
+        # VALUE arrives base64-encoded under the unchanged field name —
+        # names stable (unmapped_ratio ~0), target type string (cast_fail
+        # 0), presence full (support_drop 0), keys intact (key_miss 0).
+        # Only a sampled batch-vs-table value comparison can see it
+        # (align/drift.py echo_mismatch_ratio; the reference's
+        # record-similarity gate, AlignmentProcessor.java:179-184,
+        # applied batch-vs-table)
+        entries = [
+            ("conversation_id", F.col("conv_id")),
+            ("turnIndex", F.col("turn_idx").cast("string")),
+            ("role", F.col("role")),
+            ("content", F.base64(F.col("text").cast("binary"))),
+            ("tool_name", F.col("tool")),
+            ("event_time", iso_ts),
+        ]
     elif profile == "punct":
         # tool ids arrive dash-mangled ("s--e--a--r--c--h"): every fuzzy
         # metric scores < 0.5 against "search", but the reference's

@@ -10,6 +10,14 @@ for a downstream consumer that tails the table without rescanning it
 (table/changes.py).  Without ``--from-snapshot``, lists the snapshot
 lineage and each snapshot's committed offset range instead, so a
 consumer can pick its cursor.
+
+``--cursor NAME`` makes the consumer's position durable in the table's
+own metadata: the feed reads from the registered cursor (seed the first
+read with ``--from-snapshot``) and advances it to the window's upper
+snapshot after a successful read — and ``expire_snapshots`` then
+REFUSES to drop snapshots a registered cursor still needs, so a
+mis-sized retention can no longer silently strand a lagging consumer
+(table/icelet.py).
 """
 
 from __future__ import annotations
@@ -25,6 +33,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--from-snapshot",
                     help="exclusive lower cursor; omit to list the lineage")
     ap.add_argument("--to-snapshot", help="inclusive upper cursor (default: current)")
+    ap.add_argument("--cursor",
+                    help="named durable consumer cursor: read from its stored "
+                         "snapshot (or --from-snapshot to seed/override) and "
+                         "advance it after a successful read")
     ap.add_argument("--out", help="write feed rows here (default: summary only)")
     ap.add_argument("--format", choices=["parquet", "json"], default="parquet")
     ap.add_argument("--cpus", type=int, default=0, help="local[N] cores (0 = local[*])")
@@ -35,6 +47,15 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("filipo-feed", cores=args.cpus or None)
     table = IceletTable.load(args.table)
+
+    if args.cursor and not args.from_snapshot:
+        stored = table.cursors().get(args.cursor)
+        if stored is None:
+            raise SystemExit(
+                f"cursor {args.cursor!r} is not registered on {args.table}: "
+                "seed it with --from-snapshot <sid> on the first read"
+            )
+        args.from_snapshot = stored
 
     if not args.from_snapshot:
         by_sid = {m["snapshot_id"]: m for m in table.manifest()}
@@ -58,13 +79,19 @@ def main(argv: list[str] | None = None) -> None:
     counts = {r["op"]: r["n"] for r in
               feed.groupBy("op").agg({"*": "count"}).withColumnRenamed(
                   "count(1)", "n").collect()}
+    to_sid = args.to_snapshot or table.current_snapshot_id()
+    if args.cursor:
+        # advance ONLY after the window was fully produced — a crash
+        # above leaves the cursor (and retention protection) in place
+        table.set_cursor(args.cursor, to_sid)
     json.dump(
         {"table": args.table,
          "from_snapshot": args.from_snapshot,
-         "to_snapshot": args.to_snapshot or table.current_snapshot_id(),
+         "to_snapshot": to_sid,
          "rows": sum(counts.values()),
          "upserts": counts.get("U", 0),
          "deletes": counts.get("D", 0),
+         **({"cursor": args.cursor} if args.cursor else {}),
          **({"out": args.out, "format": args.format} if args.out else {})},
         sys.stdout,
     )

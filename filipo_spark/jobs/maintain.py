@@ -12,7 +12,9 @@ Runs the three maintenance levers in their safe order:
    the lineage — the retention horizon for time travel AND for
    ``changes_between`` catch-up (a feed consumer lagging more than K
    commits must re-read a full snapshot, table/changes.py).  Size K
-   above the slowest consumer's lag;
+   above the slowest consumer's lag; consumers that registered a
+   cursor (``jobs/feed.py --cursor``) make that checkable — expiry
+   REFUSES to strand a registered cursor unless ``--expire-force``;
 3. ``--vacuum``: delete data files no retained snapshot references
    (post-crash orphans + post-expiry deltas).
 
@@ -34,6 +36,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="fold buckets with >= N delta files (0 = skip)")
     ap.add_argument("--expire-keep-last", type=int, default=0,
                     help="keep only the newest K snapshots (0 = skip)")
+    ap.add_argument("--expire-force", action="store_true",
+                    help="expire even when it strands a registered feed cursor")
     ap.add_argument("--vacuum", action="store_true",
                     help="delete unreferenced data files")
     ap.add_argument("--cpus", type=int, default=0, help="local[N] cores (0 = local[*])")
@@ -51,11 +55,14 @@ def main(argv: list[str] | None = None) -> None:
         res = table.compact(spark, min_files=args.compact_min_files)
         out["compacted_buckets"] = res.buckets if res else []
     if args.expire_keep_last:
-        out["expired_snapshots"] = table.expire_snapshots(args.expire_keep_last)
+        out["expired_snapshots"] = table.expire_snapshots(
+            args.expire_keep_last, force=args.expire_force
+        )
     if args.vacuum:
         removed = table.vacuum()
         out["vacuumed_files"] = len(removed)
     out["retained_snapshots"] = len(table.snapshot_ids())
+    out["cursors"] = table.cursors()
     json.dump(out, sys.stdout)
     print()
 

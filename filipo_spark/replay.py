@@ -118,15 +118,25 @@ def run_drifted_replay(
     compact_every: int = 0,
     compact_min_files: int = 8,
     bounds: tuple[int, int, int] | None = None,
-    key_check_every: int = 0,
+    key_check_every: int | None = None,
+    echo_check_every: int = 0,
 ) -> ReplayReport:
     """Self-healing replay of a DRIFTED change stream (payload as
     map<string,string> or raw JSON string) into ``table``.
 
     ``key_check_every=k`` adds the opt-in ``key_miss_ratio`` health term
     (drift.py) on every k-th epoch — catches value-level corruption of a
-    string-typed key; costs one column-pruned key scan of the table per
-    checked epoch, hence a cadence, not per-epoch.
+    string-typed key.  Default (``None``) auto-resolves: **every epoch**
+    when the table maintains a key bloom sketch (``bloom_bits`` at
+    create — the probe is then one bounded job with zero table I/O,
+    table/sketch.py), else off (the fallback costs a column-pruned key
+    scan of the table per checked epoch, so the operator must opt in and
+    pick a cadence).  ``echo_check_every=k`` adds the sampled echo audit
+    (``echo_mismatch_ratio``) on every k-th epoch — catches value-level
+    corruption of mapped NON-key columns (e.g. ``text`` arriving base64)
+    by comparing sampled UPDATE payloads against the table's current row
+    values; costs a bucket-pruned read of the sampled keys' buckets, so
+    it too is a cadence.
 
     Per epoch: observe mapping health on a bounded sample
     (align/drift.py); when the unmapped-field or cast-failure ratio
@@ -165,35 +175,62 @@ def run_drifted_replay(
         bounds[0], bounds[1], batch_size
     )
     committed = table.committed_ranges()
+    if key_check_every is None:
+        key_check_every = 1 if table.bloom_bits else 0
     nonempty: list[bool] | None = None
     for epoch, (lo, hi) in enumerate(ranges):
         if (lo, hi) in committed:
             report.epochs_skipped += 1
             continue
         batch = drifted.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-        tkeys = (
-            table.read_raw(spark).select("conv_id", "turn_idx")
-            if mapping is not None and key_check_every and epoch % key_check_every == 0
+        tkeys = None
+        if mapping is not None and key_check_every and epoch % key_check_every == 0:
+            # sketch when available (bounded job, no table read; reloaded
+            # per check — THIS replay's commits add keys); else the
+            # documented column-pruned key scan
+            tkeys = (
+                table.key_bloom()
+                if table.bloom_bits
+                else table.read_raw(spark).select("conv_id", "turn_idx")
+            )
+        echo_tbl = (
+            table
+            if mapping is not None and echo_check_every
+            and epoch % echo_check_every == 0
             else None
         )
         health = (
             None
             if mapping is None
-            else mapping_health(batch, mapping, health_sample, target_keys=tkeys)
+            else mapping_health(
+                batch, mapping, health_sample, target_keys=tkeys,
+                echo_table=echo_tbl,
+            )
         )
         if mapping is None and nonempty is None:
-            # ONE job for all epochs' emptiness flags (needed only while no
-            # mapping exists — explicit Kafka-style ranges may lead with
-            # empty ones; a limit(1).count() per epoch was a job apiece)
-            row = drifted.agg(
-                *[
-                    F.count(
-                        F.when((F.col("lsn") > l_) & (F.col("lsn") <= h_), 1)
-                    ).alias(f"e{i}")
-                    for i, (l_, h_) in enumerate(ranges)
-                ]
-            ).collect()[0]
-            nonempty = [int(row[f"e{i}"]) > 0 for i in range(len(ranges))]
+            # ONE grouped job for all epochs' emptiness flags (needed only
+            # while no mapping exists — explicit Kafka-style ranges may
+            # lead with empty ones; a limit(1).count() per epoch was a job
+            # apiece, and one conditional-count COLUMN per epoch bloats
+            # the plan/codegen when ranges number in the thousands): each
+            # event is assigned its epoch index by binary-search-shaped
+            # array arithmetic over the (sorted) range bounds, then a
+            # groupBy over at most len(ranges) groups.
+            order = sorted(range(len(ranges)), key=lambda i: ranges[i][0])
+            lo_arr = F.array(*[F.lit(ranges[i][0]) for i in order])
+            hi_arr = F.array(*[F.lit(ranges[i][1]) for i in order])
+            idx = F.size(F.filter(lo_arr, lambda x: x < F.col("lsn"))) - 1
+            counts = (
+                drifted.select(F.col("lsn"), idx.alias("_e"))
+                .where(F.col("_e") >= 0)
+                .where(F.col("lsn") <= F.element_at(hi_arr, F.col("_e") + 1))
+                .groupBy("_e")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            nonempty = [False] * len(ranges)
+            for r in counts:
+                nonempty[order[int(r["_e"])]] = int(r["n"]) > 0
         evo: list[str] = []
         if (mapping is None and nonempty[epoch]) or (
             health is not None and should_realign(health, threshold)

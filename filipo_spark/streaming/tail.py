@@ -47,7 +47,8 @@ def tail_changelog(
     compact_every: int = 0,
     compact_min_files: int = 8,
     source_format: str | None = None,
-    key_check_every: int = 0,
+    key_check_every: int | None = None,
+    echo_check_every: int = 0,
 ) -> dict:
     """Tail parquet change files from ``source_dir`` into ``table``.
 
@@ -76,7 +77,12 @@ def tail_changelog(
     state (same ``reason=init`` fence the replay path writes) — a
     pure-streaming deployment needs no manual batch alignment step.
     ``key_check_every=k`` adds the opt-in ``key_miss_ratio`` health term
-    on every k-th applied batch (see align/drift.py for the cost note).
+    on every k-th applied batch; the default (``None``) auto-resolves to
+    every batch when the table maintains a key bloom sketch (the probe
+    is then one bounded job with zero table I/O, table/sketch.py), else
+    off.  ``echo_check_every=k`` adds the sampled echo audit
+    (``echo_mismatch_ratio``) on every k-th batch — see align/drift.py
+    for both terms' cost notes.
     """
     if source_format is not None:
         if source_format not in ("drifted", "json"):
@@ -143,12 +149,26 @@ def tail_changelog(
                 health = None
                 relearn = True
             else:
-                tkeys = (
-                    table.read_raw(spark).select("conv_id", "turn_idx")
-                    if key_check_every and stats["batches"] % key_check_every == 0
+                kce = key_check_every
+                if kce is None:
+                    kce = 1 if table.bloom_bits else 0
+                tkeys = None
+                if kce and stats["batches"] % kce == 0:
+                    tkeys = (
+                        table.key_bloom()
+                        if table.bloom_bits
+                        else table.read_raw(spark).select("conv_id", "turn_idx")
+                    )
+                echo_tbl = (
+                    table
+                    if echo_check_every
+                    and stats["batches"] % echo_check_every == 0
                     else None
                 )
-                health = mapping_health(batch_df, m, health_sample, target_keys=tkeys)
+                health = mapping_health(
+                    batch_df, m, health_sample, target_keys=tkeys,
+                    echo_table=echo_tbl,
+                )
                 thr = DRIFT_THRESHOLD if drift_threshold is None else drift_threshold
                 relearn = should_realign(health, thr)
             if relearn:

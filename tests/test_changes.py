@@ -189,3 +189,60 @@ def test_maintain_cli_compact_expire_vacuum(spark, replayed, capsys):
     assert out["vacuumed_files"] > 0
     assert out["retained_snapshots"] == 1
     assert t.read_logical(spark).count() > 0
+
+
+def test_cursor_protects_retention(spark, replayed):
+    """VERDICT r4 #5: a registered consumer cursor turns retention sizing
+    from folklore into a checked invariant — expire refuses to strand a
+    lagging cursor, proceeds once it advances, and force overrides."""
+    t, _log, appends = replayed
+    t.set_cursor("etl", appends[0]["snapshot_id"])
+    assert t.cursors() == {"etl": appends[0]["snapshot_id"]}
+    with pytest.raises(ValueError, match="strand"):
+        t.expire_snapshots(keep_last=2)
+    assert appends[0]["snapshot_id"] in t.snapshot_ids()  # nothing expired
+
+    # the consumer catches up -> the same expiry proceeds
+    t.set_cursor("etl", appends[3]["snapshot_id"])
+    expired = t.expire_snapshots(keep_last=2)
+    assert appends[0]["snapshot_id"] in expired
+
+    # a cursor may never point off the retained lineage
+    with pytest.raises(ValueError, match="lineage"):
+        t.set_cursor("etl", appends[0]["snapshot_id"])
+
+    # operator override for a dead consumer
+    t.set_cursor("dead", t.snapshot_ids()[0])
+    with pytest.raises(ValueError, match="strand"):
+        t.expire_snapshots(keep_last=1)
+    t.expire_snapshots(keep_last=1, force=True)
+    assert len(t.snapshot_ids()) == 1
+    t.delete_cursor("dead")
+    assert "dead" not in t.cursors()
+
+
+def test_feed_cli_cursor_roundtrip(spark, replayed, capsys):
+    """jobs/feed.py --cursor: seed with --from-snapshot, advance on a
+    successful read, resume from the stored position next run."""
+    import json as _json
+
+    from filipo_spark.jobs import feed
+
+    t, _log, appends = replayed
+    feed.main([
+        "--table", t.root, "--cursor", "c1",
+        "--from-snapshot", appends[0]["snapshot_id"],
+        "--to-snapshot", appends[1]["snapshot_id"],
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cursor"] == "c1" and out["rows"] > 0
+    assert t.cursors()["c1"] == appends[1]["snapshot_id"]
+
+    feed.main(["--table", t.root, "--cursor", "c1"])  # resume, drain to current
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["from_snapshot"] == appends[1]["snapshot_id"]
+    assert out2["to_snapshot"] == t.current_snapshot_id()
+    assert t.cursors()["c1"] == t.current_snapshot_id()
+
+    with pytest.raises(SystemExit, match="not registered"):
+        feed.main(["--table", t.root, "--cursor", "nobody"])

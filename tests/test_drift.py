@@ -141,6 +141,120 @@ def test_key_miss_ratio_catches_string_key_corruption(spark, base):
     assert "key_miss_ratio" not in blind and not should_realign(blind)
 
 
+def test_echo_audit_catches_nonkey_value_corruption(spark, base, tmp_path):
+    """VERDICT r4 #3 (the last drift blind spot): `text` arrives base64-
+    encoded under STABLE field names, types, presence and keys — no
+    prior ratio moves; only the opt-in sampled echo audit (batch values
+    vs the table's current values, the reference's record-similarity
+    gate applied batch-vs-table) fires."""
+    target, mapping = base
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=8)
+    table.bootstrap(target)
+    echo = gen_echo_changelog(target)
+
+    clean = mapping_health(gen_drifted(echo, "rename"), mapping, echo_table=table)
+    assert clean["echo_mismatch_ratio"] == 0.0 and not should_realign(clean)
+
+    bad = mapping_health(
+        gen_drifted(echo, "b64text"), mapping,
+        target_keys=target.select("conv_id", "turn_idx"), echo_table=table,
+    )
+    assert bad["unmapped_ratio"] == 0.0 and bad["cast_fail_ratio"] == 0.0
+    assert bad["support_drop_ratio"] == 0.0 and bad["key_miss_ratio"] == 0.0
+    assert bad["echo_mismatch_ratio"] == 1.0  # ONLY the new term
+    assert should_realign(bad)
+    # without the opt-in audit the corruption is (documented) invisible
+    blind = mapping_health(gen_drifted(echo, "b64text"), mapping)
+    assert "echo_mismatch_ratio" not in blind and not should_realign(blind)
+
+
+def test_echo_audit_realigns_mid_replay(spark, base, tmp_path):
+    """End-to-end: the stream's text values flip to base64 on epoch 1;
+    the echo cadence detects it, the realign is fenced with the
+    echo_mismatch reason, and the healthy epoch stayed quiet."""
+    target, mapping = base
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=8)
+    table.bootstrap(target)
+    e1 = gen_drifted(gen_echo_changelog(target, start_lsn=BASE), "rename")
+    e2 = gen_drifted(gen_echo_changelog(target, start_lsn=BASE + SPAN), "b64text")
+    report = run_drifted_replay(
+        spark, table, e1.unionByName(e2),
+        epochs=[(BASE - 1, BASE + SPAN - 1), (BASE + SPAN - 1, BASE + 2 * SPAN - 1)],
+        mapping=mapping, echo_check_every=1,
+    )
+    assert [r["epoch"] for r in report.realigns] == [1]
+    assert "echo_mismatch=1.0" in report.realigns[0]["event"]
+
+
+def test_key_bloom_probe_reads_no_table_data(spark, base, tmp_path, monkeypatch):
+    """VERDICT r4 #4: with a per-snapshot key sketch the membership probe
+    is one bounded job + a driver-side bit test — proven by making any
+    table data read blow up while the probe still answers."""
+    target, mapping = base
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=8, bloom_bits=1 << 20)
+    table.bootstrap(target)
+    assert IceletTable.load(table.root).bloom_bits == 1 << 20  # persisted
+    bloom = table.key_bloom()
+    echo = gen_echo_changelog(target)
+    corrupted = gen_drifted(
+        echo.withColumn("conv_id", F.concat(F.lit("x-"), "conv_id")), "rename"
+    )
+
+    def _boom(*_a, **_k):
+        raise AssertionError("key probe must not read table data files")
+
+    monkeypatch.setattr(IceletTable, "read_raw", _boom)
+    clean = mapping_health(gen_drifted(echo, "rename"), mapping, target_keys=bloom)
+    assert clean["key_miss_ratio"] == 0.0 and not should_realign(clean)
+    bad = mapping_health(corrupted, mapping, target_keys=bloom)
+    assert bad["key_miss_ratio"] == 1.0 and should_realign(bad)
+
+
+def test_key_probe_sees_delete_only_corruption(spark, base):
+    """ADVICE r4: the probe sample was built delete-FREE, so key
+    corruption arriving only on deletes went undetected.  Now an
+    all-delete purge batch with corrupted keys fires — and a healthy
+    purge batch does not (its empty main sample must read as 'no
+    evidence', not as support collapse)."""
+    target, mapping = base
+    tkeys = target.select("conv_id", "turn_idx")
+    echo = gen_echo_changelog(target)
+    dels = gen_drifted(
+        echo.withColumn("conv_id", F.concat(F.lit("x-"), "conv_id")), "rename"
+    ).withColumn("op", F.lit("D"))
+    h = mapping_health(dels, mapping, target_keys=tkeys)
+    assert h["n_sampled"] == 0 and h["n_keys_sampled"] > 0
+    assert h["key_miss_ratio"] == 1.0 and should_realign(h)
+    assert h["support_drop_ratio"] == 0.0
+
+    ok = mapping_health(
+        gen_drifted(echo, "rename").withColumn("op", F.lit("D")),
+        mapping, target_keys=tkeys,
+    )
+    assert ok["key_miss_ratio"] == 0.0 and not should_realign(ok)
+
+
+def test_bloom_tracks_keys_added_during_replay(spark, base, tmp_path):
+    """On a bloom table the key probe defaults to EVERY epoch
+    (key_check_every auto-resolves); keys INSERTED by epoch 0 and
+    updated by epoch 1 must be members when epoch 1 is probed — the
+    sketch is reloaded per check, so this replay's own commits count."""
+    target, mapping = base
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=8, bloom_bits=1 << 20)
+    table.bootstrap(target)
+    fresh = target.withColumn("conv_id", F.concat(F.lit("n-"), "conv_id"))
+    e1 = gen_drifted(gen_echo_changelog(fresh, start_lsn=BASE), "rename").withColumn(
+        "op", F.lit("I")
+    )
+    e2 = gen_drifted(gen_echo_changelog(fresh, start_lsn=BASE + SPAN), "rename")
+    report = run_drifted_replay(
+        spark, table, e1.unionByName(e2),
+        epochs=[(BASE - 1, BASE + SPAN - 1), (BASE + SPAN - 1, BASE + 2 * SPAN - 1)],
+        mapping=mapping,
+    )
+    assert report.realigns == [] and report.epochs_applied == 2
+
+
 def test_drifted_replay_auto_realigns_and_matches_undrifted(spark, base, tmp_path):
     """Mid-replay shape flip (rename → nested), with an EMPTY epoch in
     between: epoch 0 aligns from scratch (init), epoch 1 keeps the
