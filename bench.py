@@ -352,6 +352,13 @@ def main() -> None:
         spark.stop()  # free the JVM before the subprocess runs
         scaling = scaling_runs(min(args.events, 2_000_000), repeats=2)
         write_baseline_md(scaling, headline, sf, CPUS, _code_version())
+    else:
+        # a --no-scaling run still contributes its headline sample to the
+        # best-of sidecar (the verdict's ask: best-of with a disclosed n,
+        # accumulated across quiet-window runs)
+        from bench_report import _merge_best_headline
+
+        _merge_best_headline(headline, _code_version())
 
     out = {
         "metric": "cdc_replay_sec",

@@ -173,22 +173,31 @@ def _merge_best_headline(headline: dict, code: str) -> dict:
     still reported alongside)."""
     path = os.path.join(REPO, "BENCH", "headline.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    import statistics
+
+    sample = round(headline["events_per_sec"])
     best = {
-        "events_per_sec": round(headline["events_per_sec"]),
+        "events_per_sec": sample,
         "seconds": round(headline["seconds"], 3),
         "events": headline["events"],
         "epochs": headline["epochs"],
         "code": code,
+        "samples": [sample],
     }
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        if (
-            prev.get("events") == best["events"]
-            and prev.get("code") == best["code"]  # same measured code only
-            and prev.get("events_per_sec", 0) > best["events_per_sec"]
-        ):
-            best = dict(prev)
+        same = prev.get("events") == best["events"] and prev.get("code") == best["code"]
+        if same:
+            # accumulate every same-code sample so best-of carries a
+            # disclosed n (VERDICT r4 #1: an n=1 best is uninterpretable)
+            best["samples"] = prev.get(
+                "samples", [prev["events_per_sec"]]
+            ) + [sample]
+            if prev.get("events_per_sec", 0) > sample:
+                best.update(
+                    {k: prev[k] for k in ("events_per_sec", "seconds") if k in prev}
+                )
         elif prev.get("code") != best["code"]:
             # prior-code best: archived with its code tag, never merged
             best["archived"] = prev.get("archived", []) + [
@@ -196,6 +205,8 @@ def _merge_best_headline(headline: dict, code: str) -> dict:
             ]
         if "archived" in prev and "archived" not in best:
             best["archived"] = prev["archived"]
+    best["n_samples"] = len(best["samples"])
+    best["median"] = round(statistics.median(best["samples"]))
     with open(path, "w") as f:
         json.dump(best, f, sort_keys=True)
     return best
@@ -246,7 +257,11 @@ def write_baseline_md(scaling: dict, headline: dict, sf: float, cpus: int, code:
 
 def _headline_best_line(headline: dict, code: str) -> str:
     merged = _merge_best_headline(headline, code)
-    line = f"{merged['events_per_sec']:,} events/sec"
+    line = (
+        f"{merged['events_per_sec']:,} events/sec "
+        f"(n={merged.get('n_samples', 1)} same-code samples, "
+        f"median {merged.get('median', merged['events_per_sec']):,})"
+    )
     arch = merged.get("archived") or []
     if arch:
         prior = max(arch, key=lambda a: a.get("events_per_sec", 0))

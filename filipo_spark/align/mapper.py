@@ -273,7 +273,6 @@ def align(
         .withColumn("_is_list", _is_list)
         .cache()
     )
-    n_list = sample.where("_is_list").count()
     src_flat_base = flatten_payload(sample.where(~F.col("_is_list"))).cache()
     src_flat = src_flat_base
     tgt_long = None
@@ -313,6 +312,9 @@ def align(
             )
             .collect()
         )
+        # counted AFTER the fstats job primed both caches, so this is a
+        # cached-sample scan, not a second pass over the batch lineage
+        n_list = sample.where("_is_list").count()
         deg_rows = [r for r in fstats if r["deg"]]
         deg_fields = {r["src_field"] for r in deg_rows}
         src_flat_keys = (
@@ -446,10 +448,20 @@ def align(
             .where(F.col("n_matched") > rec_gate)
             .select("lsn")
         )
-        n_matching = matching.count()
-        if n_matching == 0:
-            raise ValueError("alignment failed: no record pair passed the similarity gate")
+        # the matching-record count is folded INTO the plan (broadcast
+        # 1-row agg) instead of being its own eager action: each align()
+        # job on the bounded sample costs far more in scheduling/codegen
+        # than in data, so the fixed cost IS the job count.  The count
+        # materializes driver-side from the final collect below; only the
+        # no-survivor edge (and evaluation mode, which needs the matching
+        # set up front) still pays a dedicated count job.
+        n_matching: int | None = None
         if evaluate_dir:
+            n_matching = matching.count()
+            if n_matching == 0:
+                raise ValueError(
+                    "alignment failed: no record pair passed the similarity gate"
+                )
             _dump_evaluation_pairs(
                 src_flat, tgt_long, paired, matching, evaluate_dir, evaluate_k
             )
@@ -472,7 +484,15 @@ def align(
             .drop("rn")
         )
         # vote threshold (F10/A-gates): votes ≥ matches × candidate_responses
-        best = best.where(F.col("votes") >= n_matching * candidate_responses)
+        if n_matching is None:
+            best = best.crossJoin(
+                F.broadcast(matching.agg(F.count(F.lit(1)).alias("_n_matched")))
+            )
+        else:
+            best = best.withColumn("_n_matched", F.lit(n_matching))
+        best = best.where(
+            F.col("votes") >= F.col("_n_matched") * candidate_responses
+        )
         # path-depth discount (C12, AlignmentProcessor.java:651-661): when
         # ranking candidate src paths, votes are divided by
         # 1 + |depth(src) - depth(tgt)| — a value echoed at a mismatched
@@ -512,18 +532,30 @@ def align(
         scoredmap = (
             best.join(present, on="src_field")
             .join(wc, on=["src_field", "tgt_column"])
-            .withColumn("support", F.col("n_present") / F.lit(float(n_matching)))
+            .withColumn("support", F.col("n_present") / F.col("_n_matched"))
             .withColumn("confidence", F.col("votes") / F.col("n_present"))
             .where(F.col("confidence") >= min_confidence)
         )
         singles = []
-        for r in scoredmap.select(
+        collected = scoredmap.select(
             "tgt_column", "src_field", "metric", "votes", "weighted_votes",
-            "wildcard_confidence",
+            "wildcard_confidence", "_n_matched",
             F.round("support", 4).alias("support"),
             F.round("confidence", 4).alias("confidence"),
-        ).collect():
+        ).collect()
+        if collected:
+            n_matching = int(collected[0]["_n_matched"])
+        elif n_matching is None:
+            # nothing survived the gates — the count job runs only on
+            # this edge, to tell "no matching records" (raise) apart from
+            # "matching records but no single-field winners" (the
+            # combined pass may still map)
+            n_matching = matching.count()
+        if n_matching == 0:
+            raise ValueError("alignment failed: no record pair passed the similarity gate")
+        for r in collected:
             row = dict(r.asDict(), n_parts=1, exact=r["metric"] in EQUALS_METRICS)
+            row.pop("_n_matched")
             if "[*]" not in row["src_field"]:
                 row.pop("wildcard_confidence")  # A11 stat is wildcard-only
             singles.append(row)

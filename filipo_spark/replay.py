@@ -182,73 +182,84 @@ def run_drifted_replay(
         if (lo, hi) in committed:
             report.epochs_skipped += 1
             continue
-        batch = drifted.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-        tkeys = None
-        if mapping is not None and key_check_every and epoch % key_check_every == 0:
-            # sketch when available (bounded job, no table read; reloaded
-            # per check — THIS replay's commits add keys); else the
-            # documented column-pruned key scan
-            tkeys = (
-                table.key_bloom()
-                if table.bloom_bits
-                else table.read_raw(spark).select("conv_id", "turn_idx")
+        # the epoch slice is consumed 2-3×: health sample, the align()
+        # probe sample on a realign, and the full apply.  Unlike the
+        # undrifted replay (exactly ONE pass per epoch — no cache there),
+        # that reuse justifies a persist: upstream of this DataFrame may
+        # be an arbitrary source lineage, and re-deriving it per action
+        # multiplies the dominant cost of a realigning epoch.  Standard
+        # micro-batch shape: MEMORY_AND_DISK, released before the next
+        # epoch.
+        batch = drifted.where((F.col("lsn") > lo) & (F.col("lsn") <= hi)).persist()
+        try:
+            tkeys = None
+            if mapping is not None and key_check_every and epoch % key_check_every == 0:
+                # sketch when available (bounded job, no table read; reloaded
+                # per check — THIS replay's commits add keys); else the
+                # documented column-pruned key scan
+                tkeys = (
+                    table.key_bloom()
+                    if table.bloom_bits
+                    else table.read_raw(spark).select("conv_id", "turn_idx")
+                )
+            echo_tbl = (
+                table
+                if mapping is not None and echo_check_every
+                and epoch % echo_check_every == 0
+                else None
             )
-        echo_tbl = (
-            table
-            if mapping is not None and echo_check_every
-            and epoch % echo_check_every == 0
-            else None
-        )
-        health = (
-            None
-            if mapping is None
-            else mapping_health(
-                batch, mapping, health_sample, target_keys=tkeys,
-                echo_table=echo_tbl,
+            health = (
+                None
+                if mapping is None
+                else mapping_health(
+                    batch, mapping, health_sample, target_keys=tkeys,
+                    echo_table=echo_tbl,
+                )
             )
-        )
-        if mapping is None and nonempty is None:
-            # ONE grouped job for all epochs' emptiness flags (needed only
-            # while no mapping exists — explicit Kafka-style ranges may
-            # lead with empty ones; a limit(1).count() per epoch was a job
-            # apiece, and one conditional-count COLUMN per epoch bloats
-            # the plan/codegen when ranges number in the thousands): each
-            # event is assigned its epoch index by binary-search-shaped
-            # array arithmetic over the (sorted) range bounds, then a
-            # groupBy over at most len(ranges) groups.
-            order = sorted(range(len(ranges)), key=lambda i: ranges[i][0])
-            lo_arr = F.array(*[F.lit(ranges[i][0]) for i in order])
-            hi_arr = F.array(*[F.lit(ranges[i][1]) for i in order])
-            idx = F.size(F.filter(lo_arr, lambda x: x < F.col("lsn"))) - 1
-            counts = (
-                drifted.select(F.col("lsn"), idx.alias("_e"))
-                .where(F.col("_e") >= 0)
-                .where(F.col("lsn") <= F.element_at(hi_arr, F.col("_e") + 1))
-                .groupBy("_e")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            nonempty = [False] * len(ranges)
-            for r in counts:
-                nonempty[order[int(r["_e"])]] = int(r["n"]) > 0
-        evo: list[str] = []
-        if (mapping is None and nonempty[epoch]) or (
-            health is not None and should_realign(health, threshold)
-        ):
-            mapping = align(batch, table.read_logical(spark), **align_kwargs)
-            evo = [realign_event(f"epoch={epoch}", lo, hi, health, mapping)] + list(
-                mapping.evolution_events
-            )
-            report.realigns.append(
-                {"epoch": epoch, "offset_lo": lo, "offset_hi": hi,
-                 "health": health, "event": evo[0]}
-            )
-            report.mapping = mapping
-        if mapping is None:  # empty batch before any mapping exists
-            typed = spark.createDataFrame([], CHANGE_SCHEMA)
-        else:
-            typed = apply_mapping(batch, mapping)
-        res = table.apply_epoch(spark, typed, epoch, lo, hi, evolution_events=evo)
+            if mapping is None and nonempty is None:
+                # ONE grouped job for all epochs' emptiness flags (needed only
+                # while no mapping exists — explicit Kafka-style ranges may
+                # lead with empty ones; a limit(1).count() per epoch was a job
+                # apiece, and one conditional-count COLUMN per epoch bloats
+                # the plan/codegen when ranges number in the thousands): each
+                # event is assigned its epoch index by binary-search-shaped
+                # array arithmetic over the (sorted) range bounds, then a
+                # groupBy over at most len(ranges) groups.
+                order = sorted(range(len(ranges)), key=lambda i: ranges[i][0])
+                lo_arr = F.array(*[F.lit(ranges[i][0]) for i in order])
+                hi_arr = F.array(*[F.lit(ranges[i][1]) for i in order])
+                idx = F.size(F.filter(lo_arr, lambda x: x < F.col("lsn"))) - 1
+                counts = (
+                    drifted.select(F.col("lsn"), idx.alias("_e"))
+                    .where(F.col("_e") >= 0)
+                    .where(F.col("lsn") <= F.element_at(hi_arr, F.col("_e") + 1))
+                    .groupBy("_e")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                nonempty = [False] * len(ranges)
+                for r in counts:
+                    nonempty[order[int(r["_e"])]] = int(r["n"]) > 0
+            evo: list[str] = []
+            if (mapping is None and nonempty[epoch]) or (
+                health is not None and should_realign(health, threshold)
+            ):
+                mapping = align(batch, table.read_logical(spark), **align_kwargs)
+                evo = [realign_event(f"epoch={epoch}", lo, hi, health, mapping)] + list(
+                    mapping.evolution_events
+                )
+                report.realigns.append(
+                    {"epoch": epoch, "offset_lo": lo, "offset_hi": hi,
+                     "health": health, "event": evo[0]}
+                )
+                report.mapping = mapping
+            if mapping is None:  # empty batch before any mapping exists
+                typed = spark.createDataFrame([], CHANGE_SCHEMA)
+            else:
+                typed = apply_mapping(batch, mapping)
+            res = table.apply_epoch(spark, typed, epoch, lo, hi, evolution_events=evo)
+        finally:
+            batch.unpersist()
         report.commits.append(res)
         report.epochs_applied += 1
         if compact_every and report.epochs_applied % compact_every == 0:

@@ -126,6 +126,18 @@ def tail_changelog(
     stats = {"batches": 0, "skipped": 0, "realigns": 0, "mapping": mapping}
 
     def apply_fn(batch_df, batch_id: int) -> None:
+        # a healing tail consumes the micro-batch 2-4× (bounds, health
+        # sample, align probe, apply) — persist it for the batch's
+        # lifetime, the standard foreachBatch-reuse shape
+        if auto_realign:
+            batch_df = batch_df.persist()
+        try:
+            _apply_inner(batch_df, batch_id)
+        finally:
+            if auto_realign:
+                batch_df.unpersist()
+
+    def _apply_inner(batch_df, batch_id: int) -> None:
         # lsn passes through the mapping projection untouched, so bounds
         # are computed ONCE on the raw batch (also the realign fence)
         bounds = batch_df.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
