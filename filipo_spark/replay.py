@@ -222,18 +222,40 @@ def run_drifted_replay(
                 # lead with empty ones; a limit(1).count() per epoch was a job
                 # apiece, and one conditional-count COLUMN per epoch bloats
                 # the plan/codegen when ranges number in the thousands): each
-                # event is assigned its epoch index by binary-search-shaped
-                # array arithmetic over the (sorted) range bounds, then a
-                # groupBy over at most len(ranges) groups.
+                # event is assigned its epoch index, then a groupBy over at
+                # most len(ranges) groups.  Contiguous uniform-width ranges
+                # (everything plan_epochs emits) index in O(1) arithmetic;
+                # only explicit irregular Kafka-style ranges pay the O(ranges)
+                # per-row array scan of the general path.
                 order = sorted(range(len(ranges)), key=lambda i: ranges[i][0])
-                lo_arr = F.array(*[F.lit(ranges[i][0]) for i in order])
-                hi_arr = F.array(*[F.lit(ranges[i][1]) for i in order])
-                idx = F.size(F.filter(lo_arr, lambda x: x < F.col("lsn"))) - 1
+                srt = [ranges[i] for i in order]
+                widths = {hi_ - lo_ for lo_, hi_ in srt[:-1]}
+                uniform_w = next(iter(widths), srt[-1][1] - srt[-1][0])
+                if (
+                    uniform_w > 0
+                    and len(widths) <= 1
+                    and 0 < srt[-1][1] - srt[-1][0] <= uniform_w
+                    and all(srt[i][1] == srt[i + 1][0] for i in range(len(srt) - 1))
+                ):
+                    idx = F.floor(
+                        (F.col("lsn") - F.lit(srt[0][0]) - 1) / F.lit(uniform_w)
+                    ).cast("int")
+                    in_range = (F.col("lsn") > F.lit(srt[0][0])) & (
+                        F.col("lsn") <= F.lit(srt[-1][1])
+                    )
+                    epoch_idx = drifted.where(in_range).select(idx.alias("_e"))
+                else:
+                    lo_arr = F.array(*[F.lit(lo_) for lo_, _ in srt])
+                    hi_arr = F.array(*[F.lit(hi_) for _, hi_ in srt])
+                    idx = F.size(F.filter(lo_arr, lambda x: x < F.col("lsn"))) - 1
+                    epoch_idx = (
+                        drifted.select(F.col("lsn"), idx.alias("_e"))
+                        .where(F.col("_e") >= 0)
+                        .where(F.col("lsn") <= F.element_at(hi_arr, F.col("_e") + 1))
+                        .select("_e")
+                    )
                 counts = (
-                    drifted.select(F.col("lsn"), idx.alias("_e"))
-                    .where(F.col("_e") >= 0)
-                    .where(F.col("lsn") <= F.element_at(hi_arr, F.col("_e") + 1))
-                    .groupBy("_e")
+                    epoch_idx.groupBy("_e")
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 )

@@ -306,6 +306,28 @@ def test_drifted_replay_auto_realigns_and_matches_undrifted(spark, base, tmp_pat
     assert df_rows(table.read_logical(spark)) == df_rows(_mutated(target))
 
 
+def test_bootstrap_irregular_epoch_ranges(spark, base, tmp_path):
+    """Irregular explicit offset ranges (the Kafka-style shape that takes
+    the general per-row array-scan emptiness path, not the O(1) uniform
+    arithmetic): an empty lead-in epoch plus two uneven data epochs must
+    bootstrap on the FIRST non-empty epoch and converge exactly."""
+    target, _ = base
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=8)
+    table.bootstrap(target)
+    e1 = gen_drifted(gen_echo_changelog(target, start_lsn=BASE), "rename")
+    # uneven widths: a tiny empty lead-in, then a short and a long range
+    epochs = [
+        (BASE - SPAN // 8 - 1, BASE - 1),           # empty lead-in
+        (BASE - 1, BASE + SPAN // 3),               # short
+        (BASE + SPAN // 3, BASE + 2 * SPAN - 1),    # long
+    ]
+    report = run_drifted_replay(spark, table, e1, epochs=epochs, mapping=None)
+    assert report.epochs_applied == 3
+    assert [r["epoch"] for r in report.realigns] == [1]
+    assert "reason=init" in report.realigns[0]["event"]
+    assert df_rows(table.read_logical(spark)) == df_rows(target)
+
+
 def test_stream_tail_auto_realigns(spark, base, tmp_path):
     """Streaming twin: the tail starts with a learned mapping, the wire
     shape flips between two availableNow drains of the same checkpoint,
