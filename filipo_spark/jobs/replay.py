@@ -36,10 +36,16 @@ def main(argv: list[str] | None = None) -> None:
                          "from the first epoch")
     ap.add_argument("--drift-threshold", type=float, default=None,
                     help="health ratio that triggers re-alignment")
-    ap.add_argument("--key-check-every", type=int, default=0,
+    ap.add_argument("--key-check-every", type=int, default=None,
                     help="add the key-membership health probe every N epochs "
-                         "(catches string-key value corruption; one "
-                         "column-pruned key scan per checked epoch)")
+                         "(catches string-key value corruption); default auto: "
+                         "every epoch when the table keeps a key bloom sketch "
+                         "(zero table I/O), else off; 0 forces off (the "
+                         "fallback costs one column-pruned key scan per check)")
+    ap.add_argument("--echo-check-every", type=int, default=0,
+                    help="add the sampled echo audit every N epochs (catches "
+                         "value corruption of mapped non-key columns; costs a "
+                         "bucket-pruned read of the sampled keys' buckets)")
     ap.add_argument("--compact-every", type=int, default=0,
                     help="run delta compaction after every N epochs (0 = never)")
     ap.add_argument("--cpus", type=int, default=0, help="local[N] cores (0 = local[*])")
@@ -71,6 +77,7 @@ def main(argv: list[str] | None = None) -> None:
             mapping=mapping, drift_threshold=args.drift_threshold,
             compact_every=args.compact_every,
             key_check_every=args.key_check_every,
+            echo_check_every=args.echo_check_every,
         )
         if args.mapping and report.mapping is not None:
             with open(args.mapping + ".current", "w") as f:

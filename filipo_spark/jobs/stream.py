@@ -33,9 +33,16 @@ def main(argv: list[str] | None = None) -> None:
                          "(align/drift.py; realign events fenced in the manifest)")
     ap.add_argument("--drift-threshold", type=float, default=None,
                     help="health ratio that triggers re-alignment")
-    ap.add_argument("--key-check-every", type=int, default=0,
+    ap.add_argument("--key-check-every", type=int, default=None,
                     help="add the key-membership health probe every N applied "
-                         "batches (catches string-key value corruption)")
+                         "batches (catches string-key value corruption); "
+                         "default auto: every batch when the table keeps a key "
+                         "bloom sketch (zero table I/O), else off; 0 forces off")
+    ap.add_argument("--echo-check-every", type=int, default=0,
+                    help="add the sampled echo audit every N applied batches "
+                         "(catches value corruption of mapped non-key columns, "
+                         "e.g. text arriving base64-mangled); costs a "
+                         "bucket-pruned read of the sampled keys' buckets")
     ap.add_argument("--compact-every", type=int, default=0,
                     help="fold over-fragmented buckets every N applied batches")
     ap.add_argument("--cpus", type=int, default=0)
@@ -75,6 +82,7 @@ def main(argv: list[str] | None = None) -> None:
         compact_every=args.compact_every,
         source_format=args.source_format,
         key_check_every=args.key_check_every,
+        echo_check_every=args.echo_check_every,
     )
     if args.continuous:
         stats.pop("query").awaitTermination()
