@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> None:
         out["vacuumed_files"] = len(removed)
     out["retained_snapshots"] = len(table.snapshot_ids())
     out["cursors"] = table.cursors()
+    if "bloom" in table.current_snapshot():
+        # operability: past ~0.5 the key sketch's FP rate degrades and
+        # the drift probe under-counts misses — resize/rebuild then
+        out["bloom_saturation"] = round(table.key_bloom().saturation, 4)
     json.dump(out, sys.stdout)
     print()
 

@@ -23,7 +23,14 @@ def replay_metrics(table: IceletTable) -> dict[str, Any]:
     appends = [x for x in m if x.get("kind", "append") == "append"]
     compacts = [x for x in m if x.get("kind") == "compact"]
     snap = table.current_snapshot()
+    bloom = {}
+    if "bloom" in snap:
+        # driver-side sketch-file read; past ~0.5 the FP rate degrades
+        # and the probe under-counts key misses — resize/rebuild then
+        # (table/sketch.py)
+        bloom = {"bloom_saturation": round(table.key_bloom().saturation, 4)}
     return {
+        **bloom,
         "epochs_committed_total": len(appends),
         "compactions": len(compacts),
         "rows_written": sum(x["n_rows"] for x in m),

@@ -49,3 +49,22 @@ def test_bloom_membership_fp_and_roundtrip(spark, tmp_path):
         KeyBloom(1 << 15, 5).union(b)
     with pytest.raises(ValueError, match="multiple of 64"):
         KeyBloom(100, 5)
+
+
+def test_metrics_surface_bloom_saturation(spark, tmp_path):
+    """Operability: replay_metrics reports the sketch's fill fraction on
+    bloom tables (the resize-before-~0.5 signal) and omits the key
+    entirely on tables without a sketch."""
+    from filipo_spark.generators import gen_transcripts
+    from filipo_spark.metrics import replay_metrics
+    from filipo_spark.table.icelet import IceletTable
+
+    target = gen_transcripts(spark, n_conv=10, max_turns=6, seed=3)
+    t = IceletTable.create(str(tmp_path / "b"), n_buckets=4, bloom_bits=1 << 16)
+    t.bootstrap(target)
+    m = replay_metrics(t)
+    assert 0.0 < m["bloom_saturation"] < 0.5
+
+    plain = IceletTable.create(str(tmp_path / "p"), n_buckets=4)
+    plain.bootstrap(target)
+    assert "bloom_saturation" not in replay_metrics(plain)
