@@ -23,11 +23,30 @@ def _utc(spark: SparkSession) -> SparkSession:
 
 
 def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Collect and rebuild with the same schema — for queries that stand
-    up a throwaway Icelet table: the returned DataFrame must not depend
-    on temp files the query deletes on the way out (correctness/bench
-    runs used to leak one table dir per invocation)."""
-    return spark.createDataFrame(df.collect(), df.schema)
+    """Materialize and cut lineage — for queries that stand up a
+    throwaway Icelet table: the returned DataFrame must not depend on
+    temp files the query deletes on the way out (correctness/bench runs
+    used to leak one table dir per invocation).  ``localCheckpoint``
+    stores the computed partitions in executor block storage; the old
+    ``createDataFrame(df.collect(), ...)`` shipped every row through the
+    Python driver twice (collect + re-serialize), which at bench scale
+    was seconds of single-threaded driver work per query."""
+    return df.localCheckpoint(eager=True)
+
+
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Hash-exchange a changes DataFrame on the LWW key right after the
+    read: each driver testdata table is ONE parquet file with ONE row
+    group — an unsplittable input whose scan (and everything Spark fuses
+    into the scan stage, e.g. the map-side half of the LWW fold) runs as
+    a single task no matter the core count.  Repartitioning immediately
+    after such a read is the standard remedy; keying the exchange by
+    (conv_id, turn_idx) lets the downstream key-grouped fold reuse this
+    exact partitioning, so the plan still carries ONE exchange total.
+    Partition count follows the session's shuffle setting — never a
+    hard-coded local constant."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, "conv_id", "turn_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -54,7 +73,7 @@ def q_cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filipo_spark.sources import changes_from_events
 
     _utc(spark)
-    ch = changes_from_events(spark, sf_dir)
+    ch = _rebalance(changes_from_events(spark, sf_dir))
     empty = to_physical(spark.createDataFrame([], TARGET_SCHEMA))
     return canonical(logical(apply_batch(empty, ch)))
 
@@ -67,7 +86,7 @@ def q_cdc_batched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filipo_spark.sources import changes_from_events
 
     _utc(spark)
-    ch = changes_from_events(spark, sf_dir)
+    ch = _rebalance(changes_from_events(spark, sf_dir))
     state = to_physical(spark.createDataFrame([], TARGET_SCHEMA))
     for k in range(3):
         state = apply_batch(state, ch.where(F.pmod(F.xxhash64("lsn"), F.lit(3)) == k))
@@ -81,7 +100,7 @@ def q_lww_dedup_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filipo_spark.sources import changes_from_events
 
     _utc(spark)
-    w = lww_dedup(changes_from_events(spark, sf_dir))
+    w = lww_dedup(_rebalance(changes_from_events(spark, sf_dir)))
     return w.select("conv_id", "turn_idx", "lsn", "op").orderBy("conv_id", "turn_idx")
 
 
@@ -549,11 +568,15 @@ def q_drift_auto_realign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filipo_spark.table.icelet import IceletTable
 
     _utc(spark)
-    ch = changes_from_events(spark, sf_dir)
+    ch = _rebalance(changes_from_events(spark, sf_dir))
     empty = to_physical(spark.createDataFrame([], TARGET_SCHEMA))
+    # the fixture target is consumed many times (bootstrap write, two
+    # echo-changelog legs, per-epoch slices): persisted so the sf-scale
+    # LWW fold upstream computes once, not once per consumer.  Scoped to
+    # this invocation — released in the finally.
     target = logical(apply_batch(empty, ch)).withColumn(
         "ts", F.date_trunc("second", F.col("ts"))
-    )
+    ).persist()
     table = IceletTable.create(
         tempfile.mkdtemp(prefix="icelet-drift-"), n_buckets=8
     )
@@ -574,6 +597,7 @@ def q_drift_auto_realign(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert [r["epoch"] for r in report.realigns] == [0, 1], report.realigns
         return _materialized(spark, canonical(table.read_logical(spark)))
     finally:
+        target.unpersist()
         shutil.rmtree(table.root, ignore_errors=True)
 
 

@@ -207,7 +207,7 @@ def mapping_health(
 def _key_miss_ratio(
     batch: DataFrame, m: dict[str, str], json_schema, target_keys,
     sample_rows: int,
-) -> float:
+) -> tuple[float, int]:
     """Key-membership probe (opt-in; see module docstring for cost):
     mapped keys of sampled UPDATE/DELETE records must already exist in
     the table — a corrupted string key is ~100% misses, a normal insert

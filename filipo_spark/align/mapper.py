@@ -61,6 +61,44 @@ from filipo_spark.schema import (
 
 WILDCARD_RE = r"\[\d+\]"
 
+# Memoized probe-metric Column expressions over the canonical
+# (src_value, tgt_value) column pair: the metric catalog compiles to a
+# large expression tree whose py4j construction costs ~0.2 s per
+# align() call.  The tree is immutable and session-independent (the
+# analyzer resolves a fresh copy per plan), so one build per JVM
+# gateway serves every call; rebuilt if the gateway ever changes.
+_EXPR_CACHE: dict = {}
+
+
+def _probe_exprs() -> dict:
+    from pyspark import SparkContext
+
+    key = id(SparkContext._gateway)
+    if _EXPR_CACHE.get("gw") != key:
+        sv, tv = F.col("src_value"), F.col("tgt_value")
+        _EXPR_CACHE.update(
+            gw=key,
+            bm=best_metric(sv, tv),
+            rule=F.struct(
+                compile_ruleset(DEFAULT_RULESET)(sv, tv).alias("score"),
+                F.lit("RegExer").alias("metric"),
+            ),
+            eq=F.struct(
+                (sv == tv).cast("double").alias("score"),
+                F.lit("Equal").alias("metric"),
+            ),
+            num=F.struct(
+                F.coalesce(
+                    (sv.try_cast("double") == tv.try_cast("double")).cast("double"),
+                    F.lit(0.0),
+                ).alias("score"),
+                F.lit("NumericEqual").alias("metric"),
+            ),
+            both_num=sv.rlike(DOUBLE_RE) & tv.rlike(DOUBLE_RE),
+            src_fast=sv.rlike(DOUBLE_RE) | sv.rlike(URL_RE),
+        )
+    return _EXPR_CACHE
+
 
 @dataclass
 class Mapping:
@@ -229,13 +267,15 @@ def align(
     Thresholds keep FiLiPo's names and defaults (config.json:13-30).
 
     Scale shape: the target table is NEVER melted or distinct'd in full.
-    It is touched exactly three ways, each bounded or pruned:
+    It is touched exactly two ways, each bounded or pruned:
       1. key discovery — a column-pruned scan of the key columns with the
          bounded probe-value set broadcast into it;
-      2. record pairing — a column-pruned key scan joined to the
-         broadcast probe sample (FiLiPo's one API call per probe value);
-      3. probe-row fetch — a broadcast semi-join on the ≤ n_probe paired
-         keys; only those rows are melted for the J1 field-match stage.
+      2. record pairing — one target scan joined to the broadcast probe
+         sample (FiLiPo's one API call per probe value); the paired
+         row's values ride the uniqueness aggregation, so the ≤ n_probe
+         probe rows come out of this same scan and only they are melted
+         for the J1 field-match stage (a separate probe-row fetch was a
+         third full scan+resolve of the target per align).
     Alignment cost is therefore independent of stream volume AND of
     target row width × count (the round-1 version melted + distinct'd
     the whole table per call).
@@ -251,6 +291,17 @@ def align(
 
         payload_schema = infer_json_schema(drifted, "payload")
         drifted = normalize_payload(drifted, json_schema=payload_schema)
+    # AQE off for the duration of this call (restored in the finally):
+    # every align stage is bounded by the ≤ n_probe·5 probe sample by
+    # construction, so AQE's per-exchange re-planning rounds are pure
+    # driver overhead here (~1s/call measured) with nothing to coalesce
+    # or skew-split at ANY scale — this is a property of the bounded
+    # sample, not of the local sandbox.  The two target-touching scans
+    # have no post-shuffle stage AQE would improve (scan → broadcast
+    # join → bounded agg).
+    _sess = drifted.sparkSession
+    _aqe_prev = _sess.conf.get("spark.sql.adaptive.enabled", "true")
+    _sess.conf.set("spark.sql.adaptive.enabled", "false")
     # list-response removal (AlignmentProcessor.java:312-340): a record
     # whose payload IS one top-level array spanning >1 index ("the API
     # answered with a list of entities") mixes several rows' values in
@@ -295,37 +346,66 @@ def align(
         # ones that map nothing become prune events.  One bounded agg
         # over the cached probe sample — the same statistic
         # scp.degenerate_columns computes on wide tables.
-        # ONE bounded collect serves both the degeneracy statistic and
-        # the field inventory (formerly two jobs — the align() fixed
+        # ONE bounded collect serves the degeneracy statistic, the field
+        # inventory, the list-response count AND the key-discovery
+        # overlap table (formerly four separate jobs — the align() fixed
         # cost is pure job count, each launch paying scheduler + codegen
-        # overhead on a ≤ n_probe·5-row sample)
-        fstats = (
+        # overhead on a ≤ n_probe·5-row sample): the three small
+        # aggregates are unioned under a tag column and split on the
+        # driver.  Overlap stats are per-field independent, so computing
+        # them for every field and excluding degenerate ones driver-side
+        # yields exactly the relation discover_key_fields built from the
+        # pre-filtered flat sample.
+        def _pad(leg, **cols):
+            shape = {"src_field": "string", "modal": "string", "ratio": "double",
+                     "deg": "boolean", "tgt_column": "string", "overlap": "double"}
+            return leg.select(
+                F.lit(cols.pop("_t")).alias("_t"),
+                *[cols.get(c, F.lit(None)).cast(t).alias(c) for c, t in shape.items()],
+            )
+
+        key_long = melt_target(target, KEY_COLUMNS)
+        fused = _pad(
             src_flat.groupBy("src_field", "src_value")
             .agg(F.count(F.lit(1)).alias("n"))
             .groupBy("src_field")
-            .agg(F.max(F.struct("n", "src_value")).alias("m"), F.sum("n").alias("n_tot"))
-            .select(
-                "src_field",
-                F.col("m.src_value").alias("modal"),
-                F.round(F.col("m.n") / F.col("n_tot"), 4).alias("ratio"),
-                (F.col("m.n") > F.col("n_tot") * error_threshold).alias("deg"),
-            )
-            .collect()
-        )
-        # counted AFTER the fstats job primed both caches, so this is a
-        # cached-sample scan, not a second pass over the batch lineage
-        n_list = sample.where("_is_list").count()
+            .agg(F.max(F.struct("n", "src_value")).alias("m"), F.sum("n").alias("n_tot")),
+            _t="f",
+            src_field=F.col("src_field"),
+            modal=F.col("m.src_value"),
+            ratio=F.round(F.col("m.n") / F.col("n_tot"), 4),
+            deg=F.col("m.n") > F.col("n_tot") * error_threshold,
+        ).unionByName(_pad(
+            _distinct_overlap(src_flat, key_long),
+            _t="o",
+            src_field=F.col("src_field"),
+            tgt_column=F.col("tgt_column"),
+            overlap=F.col("overlap"),
+        )).unionByName(_pad(
+            sample.where("_is_list").agg(F.count(F.lit(1)).alias("n")),
+            _t="l",
+            overlap=F.col("n"),
+        )).collect()
+        fstats = [r for r in fused if r["_t"] == "f"]
+        n_list = int(next(r["overlap"] for r in fused if r["_t"] == "l"))
         deg_rows = [r for r in fstats if r["deg"]]
         deg_fields = {r["src_field"] for r in deg_rows}
-        src_flat_keys = (
-            src_flat.where(~F.col("src_field").isin(list(deg_fields)))
-            if deg_fields
-            else src_flat
-        )
         all_src = sorted(r["src_field"] for r in fstats)
-        # (1) key discovery over a key-columns-only melt (pruned scan)
-        key_long = melt_target(target, KEY_COLUMNS)
-        key_fields = discover_key_fields(src_flat_keys, key_long)
+        # (1) key discovery: per key column, arg-max overlap among
+        # non-degenerate fields passing the response-rate gate — the
+        # same gate + deterministic tie rule as discover_key_fields
+        # (desc overlap, asc src_field)
+        key_fields: dict[str, str] = {}
+        for tgt in KEY_COLUMNS:
+            cands = [
+                r for r in fused
+                if r["_t"] == "o" and r["tgt_column"] == tgt
+                and r["src_field"] not in deg_fields
+                and r["overlap"] >= CANDIDATE_RESPONSES
+            ]
+            if cands:
+                win = min(cands, key=lambda r: (-r["overlap"], r["src_field"]))
+                key_fields[tgt] = win["src_field"]
         if debug is not None:
             debug["key_long"] = key_long
         if len(key_fields) < len(KEY_COLUMNS):
@@ -341,11 +421,15 @@ def align(
             .agg(F.first("src_value"))
         )
         conv_f, turn_f = key_fields["conv_id"], key_fields["turn_idx"]
+        non_key_cols = [
+            f.name for f in TARGET_SCHEMA.fields if f.name not in KEY_COLUMNS
+        ]
         tgt_str = target.select(
             F.col("conv_id"),
             F.col("turn_idx"),
             F.col("conv_id").cast("string").alias("_ck"),
             F.col("turn_idx").cast("string").alias("_tk"),
+            F.struct(*[F.col(c) for c in non_key_cols]).alias("_trow"),
         )
         matches = F.broadcast(src_wide).join(
             tgt_str,
@@ -355,24 +439,28 @@ def align(
         # identifier-uniqueness probe (F8/O3, AlignmentProcessor.java:
         # 1048-1055 LIMIT 2): only probe values that identify exactly ONE
         # target row pair — an ambiguous key would pair one probe record
-        # with many rows and pollute the votes
+        # with many rows and pollute the votes.  The paired target ROW
+        # rides the same aggregation (`_trow` — exactly one row survives
+        # the _n_tgt==1 gate, so max() is just "the row"), which saves
+        # the probe-fetch its own full scan+resolve of the target.
         paired = (
             matches.groupBy("lsn")
             .agg(
                 F.count(F.lit(1)).alias("_n_tgt"),
                 F.max("conv_id").alias("conv_id"),
                 F.max("turn_idx").alias("turn_idx"),
+                F.max("_trow").alias("_trow"),
             )
             .where(F.col("_n_tgt") == 1)
-            .select("lsn", *KEY_COLUMNS)
+            .select("lsn", *KEY_COLUMNS, "_trow")
             .orderBy(F.md5(F.col("lsn").cast("string")))
             .limit(n_probe)
         ).cache()  # ≤ n_probe rows, reused by 3+ joins — without the
         # cache each reuse re-runs the pairing scan of the target
 
-        # --- (3) probe-row fetch + bounded melt ---
-        tgt_probe_rows = target.join(
-            F.broadcast(paired.select(*KEY_COLUMNS)), on=KEY_COLUMNS
+        # --- (3) probe rows + bounded melt (no second target scan) ---
+        tgt_probe_rows = paired.select(
+            *KEY_COLUMNS, *[F.col(f"_trow.{c}").alias(c) for c in non_key_cols]
         )
         tgt_long = melt_target(tgt_probe_rows).cache()
         if debug is not None:
@@ -385,7 +473,25 @@ def align(
             paired.join(src_flat, on="lsn")
             .where(~F.col("src_field").isin(list(key_fields.values())))
             .join(non_key_tgt, on=KEY_COLUMNS)
+            .select("lsn", "src_field", "tgt_column", "src_value", "tgt_value")
         )
+        # Stable-shape stage barrier for the metric catalog: the catalog
+        # compiles to a LARGE generated class whose source embeds the
+        # input stage's column ordinals, so fused directly onto the
+        # (payload-shape-dependent) join stage it re-compiles — several
+        # seconds of driver-side Janino per NEW wire shape, which a
+        # drifted replay pays on every realign (measured via thread
+        # dumps: the collect thread sat in UnitCompiler).  One exchange
+        # here pins the metric stage's input schema to these five
+        # columns, so the class compiles once per session and every
+        # later shape reuses it from the codegen cache.  The exchange
+        # moves ≤ n_probe × fields × columns bounded rows — noise.  The
+        # partition count is a small constant because the stage's input
+        # is bounded by the probe sample at ANY scale, and each task
+        # pays a Python-worker round trip for the Arrow-batched edit
+        # metrics — 32 near-empty Arrow exchanges cost more than 4 full
+        # ones (guide §4: fewer, fuller batches across the boundary).
+        pairs = pairs.repartition(4)
         # identifier/numeric/url routing (C4/C3/X3, :820-873):
         # * both sides numeric → parsed-double equality ("12.50" == "12.5")
         # * src numeric-or-url  → exact equality or a RegExer rule only
@@ -394,24 +500,20 @@ def align(
         #   ruleset as one more exact candidate (config-driven, compiled
         #   to a single Column expression — RegExer.java:6-15)
         sv, tv = F.col("src_value"), F.col("tgt_value")
-        rules = DEFAULT_RULESET if ruleset is None else ruleset
-        rule_struct = F.struct(
-            compile_ruleset(rules)(sv, tv).alias("score"),
-            F.lit("RegExer").alias("metric"),
+        cached = _probe_exprs()
+        rule_struct = (
+            cached["rule"]
+            if ruleset is None
+            else F.struct(
+                compile_ruleset(ruleset)(sv, tv).alias("score"),
+                F.lit("RegExer").alias("metric"),
+            )
         )
-        eq_struct = F.struct(
-            (sv == tv).cast("double").alias("score"), F.lit("Equal").alias("metric")
-        )
-        num_struct = F.struct(
-            F.coalesce(
-                (sv.try_cast("double") == tv.try_cast("double")).cast("double"),
-                F.lit(0.0),
-            ).alias("score"),
-            F.lit("NumericEqual").alias("metric"),
-        )
-        both_num = sv.rlike(DOUBLE_RE) & tv.rlike(DOUBLE_RE)
-        src_fast = sv.rlike(DOUBLE_RE) | sv.rlike(URL_RE)
-        bm = best_metric(sv, tv)
+        eq_struct = cached["eq"]
+        num_struct = cached["num"]
+        both_num = cached["both_num"]
+        src_fast = cached["src_fast"]
+        bm = cached["bm"]
         exact_cands = [eq_struct, rule_struct]
         fuzzy_cands = [bm, rule_struct]
         if classifier is not None:
@@ -646,6 +748,7 @@ def align(
             payload_json_schema=payload_schema.json() if payload_schema else None,
         )
     finally:
+        _sess.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
         sample.unpersist()
         src_flat_base.unpersist()
         if tgt_long is not None:

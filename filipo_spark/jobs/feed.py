@@ -71,7 +71,11 @@ def main(argv: list[str] | None = None) -> None:
 
     from filipo_spark.table.changes import changes_between
 
-    feed = changes_between(spark, table, args.from_snapshot, args.to_snapshot)
+    # resolve the window's upper end ONCE, before the read: a commit
+    # landing between the read and the cursor advance would otherwise
+    # move the cursor past changes this feed never delivered
+    to_sid = args.to_snapshot or table.current_snapshot_id()
+    feed = changes_between(spark, table, args.from_snapshot, to_sid)
     if args.out:
         w = feed.write.mode("overwrite")
         (w.parquet(args.out) if args.format == "parquet" else w.json(args.out))
@@ -79,7 +83,6 @@ def main(argv: list[str] | None = None) -> None:
     counts = {r["op"]: r["n"] for r in
               feed.groupBy("op").agg({"*": "count"}).withColumnRenamed(
                   "count(1)", "n").collect()}
-    to_sid = args.to_snapshot or table.current_snapshot_id()
     if args.cursor:
         # advance ONLY after the window was fully produced — a crash
         # above leaves the cursor (and retention protection) in place

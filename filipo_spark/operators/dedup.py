@@ -48,7 +48,12 @@ def lww_dedup(changes: DataFrame, key: list[str] | None = None) -> DataFrame:
     one row per distinct key in the batch.
     """
     key = key or KEY_COLUMNS
-    out = changes.groupBy(*key).agg(
+    # leading 64-bit key hash in the grouping: max_by's struct buffer
+    # plans a SortAggregate, and long-common-prefix string keys defeat
+    # the sorter's 8-byte prefix comparison; a hash column resolves the
+    # comparisons without dereferencing row pages.  Same groups (the
+    # hash is a function of the key), byte-identical winners.
+    out = changes.withColumn("_gkh", F.xxhash64(*key)).groupBy("_gkh", *key).agg(
         F.max_by(_payload_struct(changes), F.struct(*_ORDER)).alias("_w")
     )
     others = [c for c in changes.columns if c not in key]

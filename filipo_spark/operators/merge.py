@@ -120,8 +120,19 @@ def lww_resolve(
     ~10% faster fold at both 1 and 4 pinned cores."""
     others = [c for c in PHYS_COLUMNS if c not in KEY_COLUMNS]
     if n_buckets is None:
-        agg = phys.groupBy(*KEY_COLUMNS).agg(
-            F.max_by(F.struct(*others), _order_struct()).alias("_w")
+        # `_kh` leads the grouping for the same sort economics as the
+        # bucketed branch below: max_by's struct buffer forces a
+        # SortAggregate, and sorting string keys sharing a long common
+        # prefix ("conv-000...") defeats the 8-byte sort prefix — a
+        # leading 64-bit key hash resolves ~all comparisons in the
+        # pointer array.  Groups are identical (the hash is a function
+        # of the key), so the fold's result is byte-identical; an
+        # upstream exchange on the bare key still satisfies the
+        # clustered distribution (subset rule), so no extra shuffle.
+        agg = (
+            phys.withColumn("_kh", F.xxhash64(*KEY_COLUMNS))
+            .groupBy("_kh", *KEY_COLUMNS)
+            .agg(F.max_by(F.struct(*others), _order_struct()).alias("_w"))
         )
         return agg.select(
             *KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in others]

@@ -177,7 +177,6 @@ def run_drifted_replay(
     committed = table.committed_ranges()
     if key_check_every is None:
         key_check_every = 1 if table.bloom_bits else 0
-    nonempty: list[bool] | None = None
     for epoch, (lo, hi) in enumerate(ranges):
         if (lo, hi) in committed:
             report.epochs_skipped += 1
@@ -216,54 +215,21 @@ def run_drifted_replay(
                     echo_table=echo_tbl,
                 )
             )
-            if mapping is None and nonempty is None:
-                # ONE grouped job for all epochs' emptiness flags (needed only
-                # while no mapping exists — explicit Kafka-style ranges may
-                # lead with empty ones; a limit(1).count() per epoch was a job
-                # apiece, and one conditional-count COLUMN per epoch bloats
-                # the plan/codegen when ranges number in the thousands): each
-                # event is assigned its epoch index, then a groupBy over at
-                # most len(ranges) groups.  Contiguous uniform-width ranges
-                # (everything plan_epochs emits) index in O(1) arithmetic;
-                # only explicit irregular Kafka-style ranges pay the O(ranges)
-                # per-row array scan of the general path.
-                order = sorted(range(len(ranges)), key=lambda i: ranges[i][0])
-                srt = [ranges[i] for i in order]
-                widths = {hi_ - lo_ for lo_, hi_ in srt[:-1]}
-                uniform_w = next(iter(widths), srt[-1][1] - srt[-1][0])
-                if (
-                    uniform_w > 0
-                    and len(widths) <= 1
-                    and 0 < srt[-1][1] - srt[-1][0] <= uniform_w
-                    and all(srt[i][1] == srt[i + 1][0] for i in range(len(srt) - 1))
-                ):
-                    idx = F.floor(
-                        (F.col("lsn") - F.lit(srt[0][0]) - 1) / F.lit(uniform_w)
-                    ).cast("int")
-                    in_range = (F.col("lsn") > F.lit(srt[0][0])) & (
-                        F.col("lsn") <= F.lit(srt[-1][1])
-                    )
-                    epoch_idx = drifted.where(in_range).select(idx.alias("_e"))
-                else:
-                    lo_arr = F.array(*[F.lit(lo_) for lo_, _ in srt])
-                    hi_arr = F.array(*[F.lit(hi_) for _, hi_ in srt])
-                    idx = F.size(F.filter(lo_arr, lambda x: x < F.col("lsn"))) - 1
-                    epoch_idx = (
-                        drifted.select(F.col("lsn"), idx.alias("_e"))
-                        .where(F.col("_e") >= 0)
-                        .where(F.col("lsn") <= F.element_at(hi_arr, F.col("_e") + 1))
-                        .select("_e")
-                    )
-                counts = (
-                    epoch_idx.groupBy("_e")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                )
-                nonempty = [False] * len(ranges)
-                for r in counts:
-                    nonempty[order[int(r["_e"])]] = int(r["n"]) > 0
+            batch_nonempty = True
+            if mapping is None:
+                # epoch emptiness, judged per mapping-less epoch on the
+                # already-persisted slice (one bounded limit(1) job —
+                # the scan stops at the first row found, and the work
+                # feeds the persist the next action needs anyway).  This
+                # replaces the former grouped attribution scan over the
+                # FULL source: no job at all runs once a mapping exists,
+                # and because each epoch's own range filter decides,
+                # overlapping or duplicate explicit Kafka-style ranges
+                # can no longer mis-attribute a shared row to a single
+                # epoch and silently drop the other's (ADVICE r5).
+                batch_nonempty = bool(batch.limit(1).count())
             evo: list[str] = []
-            if (mapping is None and nonempty[epoch]) or (
+            if (mapping is None and batch_nonempty) or (
                 health is not None and should_realign(health, threshold)
             ):
                 mapping = align(batch, table.read_logical(spark), **align_kwargs)

@@ -443,7 +443,13 @@ class IceletTable:
             ).repartition(self.n_buckets, "_bucket")
         (
             out_phys.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-            .sortWithinPartitions(*KEY_COLUMNS, "_lsn")
+            # leading 64-bit key hash: the within-file order stays
+            # deterministic (hash is a function of the key; the key
+            # columns after it break ties) and identical conv_ids stay
+            # clustered for parquet encoding, but the sorter's 8-byte
+            # prefix now resolves ~all comparisons — string keys share
+            # the long "conv-000..." prefix, which defeated it
+            .sortWithinPartitions(F.xxhash64(*KEY_COLUMNS), *KEY_COLUMNS, "_lsn")
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(staging)
@@ -466,6 +472,15 @@ class IceletTable:
                 return CommitResult(epoch=epoch, snapshot_id=sid0, skipped=False)
         parent = self.current_snapshot()
         bloom_meta = parent.get("bloom")
+        if not self.bloom_bits and bloom_meta:
+            # a table object constructed directly with bloom_bits=0 on a
+            # table whose snapshots DO carry a sketch must not copy the
+            # parent's sketch reference forward stale (the drift probe
+            # would then see legitimately inserted keys as misses):
+            # inherit the stored shape and fold this batch in, exactly
+            # as load() would have configured it.
+            self.bloom_bits = bloom_meta["bits"]
+            self.bloom_k = bloom_meta["k"]
         if self.bloom_bits and kind == "compact":
             # a compaction introduces no keys — the child snapshot shares
             # the parent's sketch file (vacuum keeps any bloom file a
