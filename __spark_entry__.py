@@ -49,6 +49,17 @@ def _rebalance(df: DataFrame) -> DataFrame:
     return df.repartition(n, "conv_id", "turn_idx")
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Same single-row-group remedy as ``_rebalance`` for non-CDC
+    tables: hash-exchange on the given key right after the read so the
+    per-row work (regex profiling, aggregation, join sides) runs on all
+    cores instead of inside the one-task scan stage.  Keyed by a column
+    the downstream grouping/join also uses, so the exchange is reused
+    wherever the distribution matches."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols)
+
+
 # ---------------------------------------------------------------------------
 # CDC core (SURVEY §2.3 J-merge, §2.4 dedup agg, §2.5 LWW window, §2.9)
 # ---------------------------------------------------------------------------
@@ -68,14 +79,17 @@ def q_cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2.5 (LWW dedup window), §2.3 (MERGE), reference anchor
     OutputManager.java:65-303 (idempotent delete-then-insert upsert).
     """
-    from filipo_spark.operators.merge import apply_batch, canonical, logical, to_physical
-    from filipo_spark.schema import TARGET_SCHEMA
+    from filipo_spark.operators.merge import canonical, changes_to_physical, logical, lww_resolve
     from filipo_spark.sources import changes_from_events
 
     _utc(spark)
     ch = _rebalance(changes_from_events(spark, sf_dir))
-    empty = to_physical(spark.createDataFrame([], TARGET_SCHEMA))
-    return canonical(logical(apply_batch(empty, ch)))
+    # replay-from-empty: apply_batch(empty, ch) unions an empty state in
+    # first, which erases the rebalance exchange's partitioning and
+    # forces a second full exchange before the fold — folding the
+    # changes directly is the same relation (the empty leg contributes
+    # no rows) with ONE exchange
+    return canonical(logical(lww_resolve(changes_to_physical(ch))))
 
 
 def q_cdc_batched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,7 +128,9 @@ def q_schema_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filipo_spark.sources import read_table
 
     _utc(spark)
-    return schema_profile(read_table(spark, sf_dir, "orders")).orderBy("column_name")
+    return schema_profile(
+        _spread(read_table(spark, sf_dir, "orders"), "o_orderkey")
+    ).orderBy("column_name")
 
 
 def q_type_triples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +212,7 @@ def q_argmax_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _utc(spark)
-    e = read_table(spark, sf_dir, "events")
+    e = _spread(read_table(spark, sf_dir, "events"), "user_id")
     votes = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("votes"))
     w = Window.partitionBy("user_id").orderBy(F.desc("votes"), F.asc("event_type"))
     return (
@@ -229,7 +245,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    o = _spread(read_table(spark, sf_dir, "orders"), "o_custkey")
     n = read_table(spark, sf_dir, "nation")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
@@ -561,20 +577,20 @@ def q_drift_auto_realign(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from filipo_spark.generators import gen_drifted, gen_echo_changelog
-    from filipo_spark.operators.merge import apply_batch, canonical, logical, to_physical
+    from filipo_spark.operators.merge import canonical, changes_to_physical, logical, lww_resolve
     from filipo_spark.replay import run_drifted_replay
-    from filipo_spark.schema import TARGET_SCHEMA
     from filipo_spark.sources import changes_from_events
     from filipo_spark.table.icelet import IceletTable
 
     _utc(spark)
     ch = _rebalance(changes_from_events(spark, sf_dir))
-    empty = to_physical(spark.createDataFrame([], TARGET_SCHEMA))
     # the fixture target is consumed many times (bootstrap write, two
     # echo-changelog legs, per-epoch slices): persisted so the sf-scale
     # LWW fold upstream computes once, not once per consumer.  Scoped to
-    # this invocation — released in the finally.
-    target = logical(apply_batch(empty, ch)).withColumn(
+    # this invocation — released in the finally.  Folding the changes
+    # directly (no empty-state union) keeps the rebalance exchange as
+    # the fold's only shuffle — same relation, one exchange.
+    target = logical(lww_resolve(changes_to_physical(ch))).withColumn(
         "ts", F.date_trunc("second", F.col("ts"))
     ).persist()
     table = IceletTable.create(

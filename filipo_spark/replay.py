@@ -163,13 +163,20 @@ def run_drifted_replay(
 
     threshold = DRIFT_THRESHOLD if drift_threshold is None else drift_threshold
     align_kwargs = align_kwargs or {}
-    if bounds is None:
+    if bounds is None and epochs is None:
+        # LSN-range planning needs the log extent; explicit Kafka-style
+        # ranges do NOT — the planning aggregation is a full source
+        # scan, so it is skipped whenever the caller already fixed the
+        # ranges (events_seen then stays 0 unless bounds are passed;
+        # per-epoch counts live in the commit manifest either way)
         row = drifted.agg(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
         ).collect()[0]
         bounds = (row["lo"], row["hi"], row["n"])
-    report = ReplayReport(events_seen=bounds[2] or 0, mapping=mapping)
-    if not bounds[2]:
+    report = ReplayReport(
+        events_seen=(bounds[2] or 0) if bounds is not None else 0, mapping=mapping
+    )
+    if bounds is not None and not bounds[2]:
         return report
     ranges = epochs if epochs is not None else plan_epochs(
         bounds[0], bounds[1], batch_size
