@@ -126,7 +126,7 @@ class IceletTable:
         sid = "empty"
         snap = {"snapshot_id": sid, "parent": None, "epoch": -1,
                 "n_buckets": n_buckets, "mode": mode,
-                "salt_factor": salt_factor, "files": {}}
+                "salt_factor": salt_factor, "delta_free": True, "files": {}}
         if bloom_bits:
             from filipo_spark.table.sketch import KeyBloom
 
@@ -313,8 +313,19 @@ class IceletTable:
         buckets: list[int] | None = None,
         snapshot_id: str | None = None,
     ) -> DataFrame:
-        """Resolved physical state: one row per key (LWW fold over raw)."""
-        return lww_resolve(self.read_raw(spark, buckets, snapshot_id))
+        """Resolved physical state: one row per key.  Snapshots marked
+        ``delta_free`` (bootstrap / first-append / full compaction — see
+        ``_commit``) already hold exactly one version per key, so the
+        LWW fold (an exchange + sort over the whole read) is skipped."""
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            with open(self._snap_path(snapshot_id)) as f:
+                snap = json.load(f)
+        raw = self.read_raw(spark, buckets, snapshot_id)
+        if snap.get("delta_free"):
+            return raw
+        return lww_resolve(raw)
 
     def read_logical(
         self, spark: SparkSession, snapshot_id: str | None = None
@@ -438,9 +449,24 @@ class IceletTable:
         # N files/bucket.  If the caller pre-bucketed (lww_resolve with
         # n_buckets), no exchange happens here at all.
         if "_bucket" not in out_phys.columns:
-            out_phys = out_phys.withColumn(
-                "_bucket", bucket_of(F.col("conv_id"), self.n_buckets)
-            ).repartition(self.n_buckets, "_bucket")
+            # key-hash shard alongside the bucket (same shape as the
+            # bucket-aligned resolve): hashing only n_buckets distinct
+            # bucket values into n_buckets partitions leaves ~1/e of
+            # them empty and others double-loaded (straggler waves on a
+            # bootstrap-sized write); the shard makes the partitions
+            # uniform and is dropped before the write, so the file
+            # schema is unchanged (salt_factor files per bucket, exactly
+            # like an epoch commit).
+            out_phys = (
+                out_phys.withColumn(
+                    "_bucket", bucket_of(F.col("conv_id"), self.n_buckets)
+                )
+                .withColumn(
+                    "_ws", F.pmod(F.xxhash64(*KEY_COLUMNS), F.lit(self.salt_factor))
+                )
+                .repartition(self.n_buckets * self.salt_factor, "_bucket", "_ws")
+                .drop("_ws")
+            )
         (
             out_phys.observe(obs, F.count(F.lit(1)).alias("rows_written"))
             # leading 64-bit key hash: the within-file order stays
@@ -528,6 +554,26 @@ class IceletTable:
             else:
                 files[str(b)] = files.get(str(b), []) + bucket_files
         shutil.rmtree(staging, ignore_errors=True)
+        # delta-free tracking (the Iceberg no-delete-files read path):
+        # when every retained file is known to hold exactly one version
+        # per key, readers skip the LWW resolve fold outright — no
+        # exchange, no sort (read()).  True after a bootstrap (replace
+        # of everything), after a first append into an empty table (the
+        # batch was folded before writing), preserved by COW appends
+        # over a delta-free parent (touched buckets are rewritten
+        # resolved) and by a compaction that rewrote every non-empty
+        # bucket; any MOR append onto existing data clears it.
+        if kind == "bootstrap":
+            delta_free = True
+        elif kind == "compact":
+            delta_free = parent.get("delta_free", False) or (
+                {str(b) for b in touched}
+                >= {b for b, fl in parent["files"].items() if fl}
+            )
+        elif replace:
+            delta_free = parent.get("delta_free", False)
+        else:
+            delta_free = not any(parent["files"].values())
         snap = {
             "snapshot_id": sid,
             "parent": parent["snapshot_id"],
@@ -535,6 +581,7 @@ class IceletTable:
             "n_buckets": self.n_buckets,
             "mode": self.mode,
             "salt_factor": self.salt_factor,
+            "delta_free": delta_free,
             "files": files,
         }
         if bloom_meta:

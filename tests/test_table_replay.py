@@ -179,3 +179,40 @@ def test_bucket_pruning_small_batch(spark, tmp_path):
         .collect()
     )
     assert row and row[0]["text"] == "edited"
+
+
+def test_delta_free_read_skips_resolve(spark, tmp_path, log):
+    """A snapshot provably holding one version per key (bootstrap, first
+    append into empty, full compaction) is read WITHOUT the LWW resolve
+    fold — no Exchange in the read plan — while any MoR append onto
+    existing data restores the fold; logical state identical throughout."""
+    target = gen_transcripts(spark, n_conv=12, max_turns=8, seed=7)
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=4)
+    t.bootstrap(target)
+    assert t.current_snapshot()["delta_free"] is True
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Aggregate" not in plan, plan
+    assert df_rows(canonical(t.read_logical(spark))) == df_rows(canonical(target))
+
+    # an append introduces deltas: flag drops, fold returns, state right
+    run_replay(spark, t, log, batch_size=10**9)
+    assert t.current_snapshot()["delta_free"] is False
+    plan2 = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in plan2, plan2
+    want = df_rows(canonical(logical(apply_batch(to_physical(target), log))))
+    assert df_rows(canonical(t.read_logical(spark))) == want
+
+    # full compaction rewrites every non-empty bucket: flag restored
+    res = t.compact(spark, min_files=2)
+    assert res is not None
+    assert t.current_snapshot()["delta_free"] is True
+    plan3 = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan3, plan3
+    assert df_rows(canonical(t.read_logical(spark))) == want
+
+
+def test_first_append_into_empty_is_delta_free(spark, tmp_path, log):
+    t = IceletTable.create(str(tmp_path / "t"), n_buckets=4)
+    run_replay(spark, t, log, batch_size=10**9)  # one epoch from empty
+    assert t.current_snapshot()["delta_free"] is True
+    assert df_rows(canonical(t.read_logical(spark))) == expected_state(spark, log)
