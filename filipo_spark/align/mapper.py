@@ -301,7 +301,6 @@ def align(
     # join → bounded agg).
     _sess = drifted.sparkSession
     _aqe_prev = _sess.conf.get("spark.sql.adaptive.enabled", "true")
-    _sess.conf.set("spark.sql.adaptive.enabled", "false")
     # list-response removal (AlignmentProcessor.java:312-340): a record
     # whose payload IS one top-level array spanning >1 index ("the API
     # answered with a list of entities") mixes several rows' values in
@@ -328,6 +327,7 @@ def align(
     src_flat = src_flat_base
     tgt_long = None
     paired = None
+    _sess.conf.set("spark.sql.adaptive.enabled", "false")  # restored in finally
     try:
         # J4 error/degenerate-response pruning (AlignmentProcessor.java:
         # 251-310, error_threshold config.json:22): the reference removes
