@@ -207,6 +207,23 @@ def _merge_best_headline(headline: dict, code: str) -> dict:
             best["archived"] = prev["archived"]
     best["n_samples"] = len(best["samples"])
     best["median"] = round(statistics.median(best["samples"]))
+    # the reproducible statistic a reader should quote first (VERDICT r5
+    # #4): the largest pinned level's 4-CPU median, alongside the
+    # unpinned local[32] best-of
+    for fname in ("scaling_xdeep.json", "scaling_deep.json"):
+        p = os.path.join(REPO, "BENCH", fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                d = json.load(f)
+            best["pinned_reference"] = {
+                "events_per_sec_median": d.get("median_4n"),
+                "events_per_sec_best": d.get("events_per_sec_4n"),
+                "cpus": d.get("4n_cpus"),
+                "events": d.get("events"),
+                "n_samples": len(d.get("runs_n", [])),
+                "source": fname,
+            }
+            break
     with open(path, "w") as f:
         json.dump(best, f, sort_keys=True)
     return best
@@ -245,14 +262,40 @@ def write_baseline_md(scaling: dict, headline: dict, sf: float, cpus: int, code:
             + _scaling_table(scaling)
             + _deep_section() +
             "## Headline throughput\n\n"
-            f"local[{cpus}] (unpinned), sf={sf}: "
+            + _pinned_headline_line()
+            + f"Unpinned local[{cpus}], sf={sf}: "
             f"{round(headline['events_per_sec']):,} events/sec this run over "
             f"{headline['events']:,} events, {headline['epochs']} epochs "
             f"({headline['seconds']:.1f}s total); best observed across runs "
             f"{_headline_best_line(headline, code)} "
-            "(unpinned 32-vCPU level rides host contention — see the pinned "
-            "scaling tables above for the controlled numbers).\n"
+            "(the unpinned 32-vCPU level rides host contention — the pinned "
+            "figure above and the scaling tables are the reproducible "
+            "numbers).\n"
         )
+
+
+def _pinned_headline_line() -> str:
+    """Lead the headline section with a PINNED-CPU statistic (VERDICT r5
+    #4: the number a reader quotes first should be reproducible): the
+    largest pinned scaling level's 4-CPU median, from the same
+    content-hash-versioned sidecars as the scaling tables."""
+    best = None
+    for fname in ("scaling_xdeep.json", "scaling_deep.json", "scaling.json"):
+        path = os.path.join(REPO, "BENCH", fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            if best is None or d.get("events", 0) > best.get("events", 0):
+                best = d
+    if not best:
+        return ""
+    return (
+        f"**Pinned headline (reproducible): {best['median_4n']:,} events/sec "
+        f"median ({best['events_per_sec_4n']:,} best) at {best['4n_cpus']} "
+        f"pinned CPUs on a {best['events']:,}-event single-epoch batch "
+        f"(n={len(best.get('runs_n', []))} samples, taskset + "
+        "ActiveProcessorCount methodology above).**\n\n"
+    )
 
 
 def _headline_best_line(headline: dict, code: str) -> str:
