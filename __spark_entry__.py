@@ -30,34 +30,32 @@ def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
     stores the computed partitions in executor block storage; the old
     ``createDataFrame(df.collect(), ...)`` shipped every row through the
     Python driver twice (collect + re-serialize), which at bench scale
-    was seconds of single-threaded driver work per query."""
+    was seconds of single-threaded driver work per query.  Trade-off
+    (accepted for this single-process harness): checkpoint blocks are
+    not recomputable, so on a cluster with executor loss/preemption a
+    reliable ``checkpoint()`` to shared storage would be the right
+    variant."""
     return df.localCheckpoint(eager=True)
 
 
-def _rebalance(df: DataFrame) -> DataFrame:
-    """Hash-exchange a changes DataFrame on the LWW key right after the
-    read: each driver testdata table is ONE parquet file with ONE row
-    group — an unsplittable input whose scan (and everything Spark fuses
-    into the scan stage, e.g. the map-side half of the LWW fold) runs as
-    a single task no matter the core count.  Repartitioning immediately
-    after such a read is the standard remedy; keying the exchange by
-    (conv_id, turn_idx) lets the downstream key-grouped fold reuse this
-    exact partitioning, so the plan still carries ONE exchange total.
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-exchange right after the read: each driver testdata table is
+    ONE parquet file with ONE row group — an unsplittable input whose
+    scan (and everything Spark fuses into the scan stage, e.g. the
+    map-side half of an aggregation) runs as a single task no matter the
+    core count.  Repartitioning immediately after such a read is the
+    standard remedy; keying the exchange by a column the downstream
+    grouping/join/window also uses lets that operator reuse this exact
+    partitioning, so the plan still carries ONE exchange total.
     Partition count follows the session's shuffle setting — never a
     hard-coded local constant."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, "conv_id", "turn_idx")
-
-
-def _spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Same single-row-group remedy as ``_rebalance`` for non-CDC
-    tables: hash-exchange on the given key right after the read so the
-    per-row work (regex profiling, aggregation, join sides) runs on all
-    cores instead of inside the one-task scan stage.  Keyed by a column
-    the downstream grouping/join also uses, so the exchange is reused
-    wherever the distribution matches."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n, *cols)
+
+
+def _rebalance(df: DataFrame) -> DataFrame:
+    """`_spread` on the LWW key — the CDC changes-stream variant."""
+    return _spread(df, "conv_id", "turn_idx")
 
 
 # ---------------------------------------------------------------------------

@@ -287,7 +287,9 @@ def _pinned_headline_line() -> str:
                 d = json.load(f)
             if best is None or d.get("events", 0) > best.get("events", 0):
                 best = d
-    if not best:
+    if not best or not all(
+        k in best for k in ("median_4n", "events_per_sec_4n", "4n_cpus", "events")
+    ):
         return ""
     return (
         f"**Pinned headline (reproducible): {best['median_4n']:,} events/sec "

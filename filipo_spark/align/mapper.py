@@ -73,8 +73,10 @@ _EXPR_CACHE: dict = {}
 def _probe_exprs() -> dict:
     from pyspark import SparkContext
 
-    key = id(SparkContext._gateway)
-    if _EXPR_CACHE.get("gw") != key:
+    # identity check (not id()): a freed gateway's id can be reused by
+    # its successor, which would serve Columns bound to a dead JVM
+    key = SparkContext._gateway
+    if _EXPR_CACHE.get("gw") is not key:
         sv, tv = F.col("src_value"), F.col("tgt_value")
         _EXPR_CACHE.update(
             gw=key,

@@ -178,6 +178,14 @@ def run_drifted_replay(
     )
     if bounds is not None and not bounds[2]:
         return report
+    if bounds is None and not drifted.limit(1).count():
+        # an entirely empty source must return WITHOUT fencing the
+        # explicit ranges as committed empty epochs — the data may
+        # simply not have landed yet, and a fenced range would be
+        # skipped forever on the later replay.  One bounded job (stops
+        # at the first row found), not the full extent scan this path
+        # used to pay.
+        return report
     ranges = epochs if epochs is not None else plan_epochs(
         bounds[0], bounds[1], batch_size
     )

@@ -322,7 +322,11 @@ class IceletTable:
         else:
             with open(self._snap_path(snapshot_id)) as f:
                 snap = json.load(f)
-        raw = self.read_raw(spark, buckets, snapshot_id)
+        # pin the file list to the SAME snapshot the flag came from: a
+        # commit landing between two current-snapshot reads must never
+        # pair snapshot A's delta_free with snapshot B's files (the
+        # atomic-pointer never-torn-read contract)
+        raw = self.read_raw(spark, buckets, snap["snapshot_id"])
         if snap.get("delta_free"):
             return raw
         return lww_resolve(raw)
@@ -336,7 +340,16 @@ class IceletTable:
 
     # --- write ---------------------------------------------------------
     def bootstrap(self, target: DataFrame, epoch: int = 0) -> CommitResult:
-        """Seed the table from a logical target DataFrame (lsn=-1 rows)."""
+        """Seed the table from a logical target DataFrame (lsn=-1 rows).
+
+        Precondition: ``target`` holds ONE row per (conv_id, turn_idx) —
+        a resolved logical state, which is what every caller passes.
+        The bootstrap snapshot is marked ``delta_free`` on that basis;
+        a duplicate-keyed seed would surface both rows on read (before
+        round 6 it was silently and NON-deterministically collapsed by
+        the fold's (ts, _lsn=-1) tie — neither behavior is meaningful
+        for an invalid seed, so the precondition is documented instead
+        of paid for on every read)."""
         return self._commit(
             to_physical(target), epoch, offset_lo=-1, offset_hi=-1,
             touched=list(range(self.n_buckets)), evolution_events=[],

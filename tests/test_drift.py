@@ -394,3 +394,28 @@ def test_stream_tail_bootstraps_mapping_from_first_batch(spark, base, tmp_path):
             spark, src, table, str(tmp_path / "ckpt3"),
             mapping=None, source_format="drifted",
         )
+
+
+def test_empty_source_with_explicit_ranges_is_not_fenced(spark, base, tmp_path):
+    """An entirely empty source with explicit Kafka-style ranges must
+    return WITHOUT committing the ranges as empty epochs: the data may
+    not have landed yet, and a fenced range would be skipped forever on
+    the later replay (the r6 explicit-epochs bounds skip must keep the
+    old empty-source early-return)."""
+    target, mapping = base
+    table = IceletTable.create(str(tmp_path / "tbl"), n_buckets=4)
+    table.bootstrap(target)
+    echo = gen_echo_changelog(target, start_lsn=BASE)
+    epochs = [(BASE - 1, BASE + 2 * SPAN - 1)]
+    early = run_drifted_replay(
+        spark, table, gen_drifted(echo, "rename").where("lsn < 0"),
+        epochs=epochs, mapping=mapping,
+    )
+    assert early.epochs_applied == 0
+    assert table.committed_ranges() == set()
+    # the data lands; the same ranges must now actually apply
+    late = run_drifted_replay(
+        spark, table, gen_drifted(echo, "rename"), epochs=epochs, mapping=mapping
+    )
+    assert late.epochs_applied == 1
+    assert df_rows(table.read_logical(spark)) == df_rows(target)
